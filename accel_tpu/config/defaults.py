@@ -1,0 +1,110 @@
+"""Default configuration.
+
+Field vocabulary follows the reference's ``<net>/config/config.py``
+(SURVEY.md §5 "Config / flag system"): ``network.pretrained``,
+``network.PIXEL_MEANS``, ``SCALES``, ``dataset.NUM_CLASSES``,
+``TRAIN.{lr,lr_step,warmup,...,KEY_INTERVAL}``, ``TEST.KEY_FRAME_INTERVAL``,
+``gpus``, ``output_path`` — extended with TPU-native knobs (mesh axes,
+dtype policy, Pallas toggles) that have no reference counterpart.
+"""
+
+from accel_tpu.config.loader import Config
+
+
+def make_defaults() -> Config:
+    return Config(
+        {
+            # experiment identity
+            "MXNET_VERSION": "",  # kept for yaml-compat; ignored
+            "output_path": "./output",
+            "symbol": "",  # reference name for the model builder
+            "gpus": "0",  # reference field; maps to device/mesh selection
+            "CLASS_AGNOSTIC": True,
+            "SCALES": [[1024, 2048]],  # (short side, max size) per reference
+            "default": {"frequent": 20, "kvstore": "device"},
+            "network": {
+                # model family: deeplab | dff | accel
+                "name": "accel",
+                # reference branch backbone depth (keyframe branch)
+                "ref_depth": 101,
+                # update branch depth (accel only): 18 | 34 | 50 | 101
+                "update_depth": 18,
+                "pretrained": "",
+                "pretrained_flow": "",
+                "pretrained_epoch": 0,
+                "PIXEL_MEANS": [103.06, 115.90, 123.15],  # BGR means (ref style)
+                "PIXEL_STDS": [1.0, 1.0, 1.0],
+                "IMAGE_STRIDE": 0,
+                "FIXED_PARAMS": [],
+                # output stride of the dilated backbone (8 or 16)
+                "feat_stride": 16,
+                # DeepLab head: fc6 dilation + width
+                "head_dilation": 6,
+                "head_channels": 1024,
+                # FlowNet runs on inputs downscaled by this factor
+                "flow_input_downscale": 2,
+                # flow propagation: 'direct' (DFF: key->cur in one shot) or
+                # 'incremental' (Accel: prev->cur, cascaded warps)
+                "propagate": "incremental",
+                # DFF scale-field modulation of warped maps
+                "use_scale_field": True,
+                # norm layer: 'batchnorm' (reference) — frozen at train time
+                # like the MSRA codebases when bn_frozen is true
+                "bn_frozen": True,
+                # compute dtype policy: 'bfloat16' | 'float32'
+                "dtype": "bfloat16",
+                # use the Pallas warp kernel (else pure-XLA gather oracle)
+                "use_pallas_warp": True,
+                # static max displacement (feature-res pixels) for the Pallas
+                # roll-accumulate warp kernel
+                "warp_max_disp": 16,
+            },
+            "dataset": {
+                "dataset": "CityScape",
+                "dataset_path": "./data/cityscapes",
+                "image_set": "leftImg8bit_train",
+                "test_image_set": "leftImg8bit_val",
+                "root_path": "./data",
+                "NUM_CLASSES": 19,
+                "annotation_prefix": "gtFine",
+            },
+            "TRAIN": {
+                "lr": 0.0005,
+                "lr_step": "3.333",  # epochs at which lr decays (csv)
+                "lr_factor": 0.1,
+                "warmup": True,
+                "warmup_lr": 0.00005,
+                "warmup_step": 1000,
+                "momentum": 0.9,
+                "wd": 0.0005,
+                "begin_epoch": 0,
+                "end_epoch": 5,
+                "model_prefix": "accel",
+                "RESUME": False,
+                "FLIP": True,
+                "SHUFFLE": True,
+                "BATCH_IMAGES": 1,
+                # key/cur pair sampling offsets (frames before annotated frame)
+                "MIN_OFFSET": -4,
+                "MAX_OFFSET": 0,
+                # crop for training (H, W); full-res eval
+                "CROP_SIZE": [768, 768],
+                "loss_scale": 1.0,
+            },
+            "TEST": {
+                "BATCH_IMAGES": 1,
+                "KEY_FRAME_INTERVAL": 5,
+                # offset of the annotated frame after the keyframe
+                "KEY_FRAME_OFFSET": 0,
+                "max_per_image": 300,
+                "test_epoch": 5,
+            },
+            # TPU-native extensions (no reference counterpart)
+            "tpu": {
+                "mesh": {"data": -1, "spatial": 1},  # -1 = all remaining chips
+                "donate_carry": True,
+                "profile": False,
+                "prefetch_depth": 2,
+            },
+        }
+    )

@@ -1,0 +1,139 @@
+"""Flow-guided bilinear warp (the Deep-Feature-Flow propagation op).
+
+Reference counterpart (SURVEY.md §2 "Flow-guided warp"): MXNet
+``GridGenerator(transform_type='warp')`` + ``BilinearSampler`` CUDA kernels,
+constructed inline in ``dff_deeplab/symbols/resnet_v1_101_flownet_deeplab.py``.
+Semantics: ``out(y, x) = feat(y + dy(y,x), x + dx(y,x))`` with bilinear
+interpolation and **zero padding** outside the image (MXNet BilinearSampler
+behaviour).
+
+Two implementations:
+
+- :func:`bilinear_warp_xla` — exact gather formulation, differentiable by
+  tracing, handles unbounded flow. This is the correctness oracle and the
+  default on CPU.
+- :func:`bilinear_warp_pallas` — TPU Pallas kernel (see ``warp_pallas.py``)
+  using a separable masked-roll accumulation with a static max-displacement
+  bound; exact bilinear within the bound. Forward is the Pallas kernel;
+  backward is the (exact) VJP of the oracle via ``jax.custom_vjp``.
+
+``flow[..., 0] = dx`` (along W), ``flow[..., 1] = dy`` (along H), in
+feature-resolution pixels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_corner(flat_feat: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray, H: int, W: int):
+    """Gather feat at integer coords (yi, xi) with zero outside. flat_feat: (N, H*W, C)."""
+    valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+    yc = jnp.clip(yi, 0, H - 1)
+    xc = jnp.clip(xi, 0, W - 1)
+    idx = (yc * W + xc).reshape(flat_feat.shape[0], -1, 1)
+    g = jnp.take_along_axis(flat_feat, idx, axis=1)
+    return g, valid.reshape(valid.shape[0], -1, 1)
+
+
+def bilinear_warp_xla(feat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Exact bilinear warp via 4 gathers. feat (N,H,W,C), flow (N,H,W,2)."""
+    N, H, W, C = feat.shape
+    fdt = feat.dtype
+    f32 = jnp.float32
+    dx = flow[..., 0].astype(f32)
+    dy = flow[..., 1].astype(f32)
+    yy = jax.lax.broadcasted_iota(f32, (N, H, W), 1)
+    xx = jax.lax.broadcasted_iota(f32, (N, H, W), 2)
+    sy = yy + dy
+    sx = xx + dx
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    flat = feat.astype(f32).reshape(N, H * W, C)
+    out = jnp.zeros((N, H * W, C), f32)
+    for (oy, ox, w) in (
+        (0, 0, (1 - wy) * (1 - wx)),
+        (0, 1, (1 - wy) * wx),
+        (1, 0, wy * (1 - wx)),
+        (1, 1, wy * wx),
+    ):
+        g, valid = _gather_corner(flat, y0i + oy, x0i + ox, H, W)
+        out = out + jnp.where(valid, g, 0.0) * w.reshape(N, H * W, 1)
+    return out.reshape(N, H, W, C).astype(fdt)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backed warp with exact custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bilinear_warp_pallas(feat: jnp.ndarray, flow: jnp.ndarray, max_disp: int = 16) -> jnp.ndarray:
+    """TPU Pallas warp; exact bilinear for |flow| <= max_disp (flow is
+    clamped to the bound, so larger displacements sample at the clamped
+    offset instead of the true one). Use the oracle for unbounded flow."""
+    from accel_tpu.ops.warp_pallas import warp_pallas_fwd
+
+    return warp_pallas_fwd(feat, flow, max_disp)
+
+
+def _warp_pallas_fwd_rule(max_disp, feat, flow):
+    out = bilinear_warp_pallas(feat, flow, max_disp)
+    return out, (feat, flow)
+
+
+def _warp_pallas_bwd_rule(max_disp, res, g):
+    feat, flow = res
+    # Exact gradients of the (clamped-flow) oracle. Clamp matches the
+    # forward kernel's displacement bound.
+    d = float(max_disp)
+
+    def f(feat_, flow_):
+        return bilinear_warp_xla(feat_, jnp.clip(flow_, -d, d))
+
+    _, vjp = jax.vjp(f, feat, flow)
+    return vjp(g)
+
+
+bilinear_warp_pallas.defvjp(_warp_pallas_fwd_rule, _warp_pallas_bwd_rule)
+
+
+def bilinear_warp(
+    feat: jnp.ndarray,
+    flow: jnp.ndarray,
+    use_pallas: bool = True,
+    max_disp: int = 16,
+) -> jnp.ndarray:
+    """Dispatching entry point. Falls back to the oracle off-TPU."""
+    if use_pallas and jax.default_backend() == "tpu":
+        return bilinear_warp_pallas(feat, flow, max_disp)
+    return bilinear_warp_xla(feat, flow)
+
+
+def flow_to_feature_res(flow: jnp.ndarray, feat_hw: tuple[int, int], flow_px_scale: float) -> jnp.ndarray:
+    """Resize a flow field to feature resolution and rescale its units.
+
+    ``flow`` is (N, h, w, 2) in pixels *at its own resolution*;
+    ``flow_px_scale`` converts those pixel units to feature-resolution
+    pixels (e.g. full-res flow applied at stride 16 -> 1/16). The reference
+    does the same rescale before GridGenerator (SURVEY.md §3.3 step 2).
+    """
+    from accel_tpu.ops.upsample import resize_bilinear
+
+    Hf, Wf = feat_hw
+    n, h, w, _ = flow.shape
+    # spatial resize + unit change: resizing changes the grid the vectors
+    # live on, not their units; units change by flow_px_scale times the
+    # ratio of resolutions.
+    sy = Hf / h
+    sx = Wf / w
+    out = resize_bilinear(flow.astype(jnp.float32), (Hf, Wf))
+    return out * jnp.asarray([flow_px_scale * sx, flow_px_scale * sy], jnp.float32)
