@@ -1,0 +1,140 @@
+"""Functional forward/loss/inference pipelines.
+
+Reference counterparts: the symbol-assembly in
+``dff_deeplab/symbols/*.py`` (``get_train_symbol`` /
+``get_key_test_symbol`` / ``get_cur_test_symbol``) and the per-frame loop of
+``core/tester.py:pred_eval`` (SURVEY.md §3.1-3.3).
+
+TPU-native shape: instead of two separately-bound executors with the cached
+keyframe feature fed back as a graph *input* (the reference's MXNet idiom),
+a clip is scanned in one XLA program — ``lax.scan`` over keyframe groups
+with the propagated tensor as carry, the keyframe step unrolled as the first
+step of each group, so the backbone runs exactly once per group and the
+feature cache lives in HBM as scan carry (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from accel_tpu.core.metrics import softmax_cross_entropy
+from accel_tpu.ops.upsample import resize_bilinear
+
+
+def pair_loss(model, variables, batch, num_classes: int, loss_scale: float = 1.0):
+    """Cross-entropy on a (key, cur) pair batch.
+
+    ``batch``: dict with 'data' (N,H,W,3), 'data_ref' (N,H,W,3),
+    'eq_flag' (N,), 'label' (N,H,W) int with 255 ignore.
+    The reference computes loss at label resolution after the fixed
+    bilinear upsample (SURVEY.md §3.3 step 7); downsampling labels instead
+    changes the objective, so we upsample logits.
+    """
+    logits = model.apply(
+        variables, batch["data"], batch["data_ref"], batch["eq_flag"], train=True
+    )
+    label = batch["label"]
+    logits_full = resize_bilinear(logits, label.shape[1:3])
+    return softmax_cross_entropy(logits_full, label, num_classes, loss_scale)
+
+
+# ---------------------------------------------------------------------------
+# Clip inference
+# ---------------------------------------------------------------------------
+
+
+def _group_step(model, variables, frames_g, propagate: str):
+    """One keyframe group: frames_g (B, k, H, W, 3) -> logits (B, k, h, w, C).
+
+    Step 0 is the keyframe (reference branch runs); steps 1..k-1 propagate
+    by flow-warp. ``propagate``: 'incremental' (anchor = previous frame,
+    Accel) or 'direct' (anchor = keyframe, DFF).
+    """
+    k = frames_g.shape[1]
+    key_frame = frames_g[:, 0]
+    prop = model.apply(variables, key_frame, method="ref_propagated")
+    ref_scores = model.apply(variables, prop, method="ref_scores_from_propagated")
+
+    def frame_output(ref_s, cur_frame):
+        if model.family == "accel":
+            upd = model.apply(variables, cur_frame, method="update_scores")
+            return model.apply(variables, ref_s, upd, method="fuse")
+        return ref_s
+
+    outs = [frame_output(ref_scores, key_frame)]
+    anchor = key_frame
+    carry = prop
+    for i in range(1, k):
+        cur = frames_g[:, i]
+        flow, scale = model.apply(variables, cur, anchor, method="flow")
+        warped = model.apply(variables, carry, flow, scale, method="warp")
+        ref_s = model.apply(variables, warped, method="ref_scores_from_propagated")
+        outs.append(frame_output(ref_s, cur))
+        if propagate == "incremental":
+            carry = warped
+            anchor = cur
+        # 'direct': carry stays the keyframe tensor, anchor stays key_frame
+    return jnp.stack(outs, axis=1)
+
+
+def clip_logits(
+    model,
+    variables,
+    clip: jnp.ndarray,
+    interval: int,
+    propagate: str = "incremental",
+) -> jnp.ndarray:
+    """clip (B, F, H, W, 3) normalized, F % interval == 0 ->
+    stride-level logits (B, F, h, w, C).
+
+    Scans over keyframe groups; the group interior is unrolled (interval is
+    static and small) so there is no key/non-key lax.cond and the backbone
+    runs exactly once per group (SURVEY.md §7 hard part 3).
+    """
+    B, F, H, W, _ = clip.shape
+    k = int(interval)
+    if model.family == "deeplab":
+        k = 1  # every frame is a keyframe
+    assert F % k == 0, f"clip length {F} not divisible by interval {k}"
+    G = F // k
+    groups = clip.reshape(B, G, k, H, W, 3).transpose(1, 0, 2, 3, 4, 5)
+
+    if G == 1:
+        out = _group_step(model, variables, groups[0], propagate)
+        return out.reshape(B, F, *out.shape[2:])
+
+    def body(carry, frames_g):
+        return carry, _group_step(model, variables, frames_g, propagate)
+
+    _, outs = jax.lax.scan(body, 0, groups)  # (G, B, k, h, w, C)
+    outs = outs.transpose(1, 0, 2, 3, 4, 5)
+    return outs.reshape(B, F, *outs.shape[3:])
+
+
+def clip_predictions(
+    model,
+    variables,
+    clip: jnp.ndarray,
+    interval: int,
+    propagate: str = "incremental",
+    full_res: bool = True,
+) -> jnp.ndarray:
+    """clip -> per-frame argmax class maps (B, F, H, W) uint8.
+
+    Matches the reference eval protocol: bilinear-upsample logits to input
+    resolution, then argmax (SURVEY.md §3.3 step 7).
+    """
+    logits = clip_logits(model, variables, clip, interval, propagate)
+    B, F = logits.shape[:2]
+    if not full_res:
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+    H, W = clip.shape[2:4]
+
+    def up_argmax(lg):  # (B, h, w, C) one frame at a time to bound memory
+        return jnp.argmax(resize_bilinear(lg, (H, W)), axis=-1).astype(jnp.uint8)
+
+    return jax.lax.map(up_argmax, logits.transpose(1, 0, 2, 3, 4)).transpose(1, 0, 2, 3)

@@ -1,0 +1,166 @@
+"""Predictor — the reference's public inference API — and pred_eval.
+
+Reference counterpart (SURVEY.md §2 "Predictor (public API to match)"):
+
+    Predictor(symbol, data_names, label_names, context, max_data_shapes,
+              provide_data, provide_label, arg_params, aux_params)
+    Predictor.predict(data_batch) -> [dict(output_name -> NDArray)]
+
+from ``<net>/core/tester.py``. The constructor keeps the reference's
+argument order/names (symbol -> apply_fn; context/provide_*/max_data_shapes
+accepted for drop-in compatibility — shape rebinding is subsumed by jit's
+shape-keyed compilation cache, the MutableModule equivalent).
+
+``pred_eval`` mirrors the reference per-frame loop: keyframe -> run the key
+predictor and cache the propagated tensor, else run the cur predictor with
+the cache as an *input*; accumulate the confusion matrix; report mIoU and
+net-vs-data timing (SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Sequence
+
+import jax
+import numpy as np
+
+from accel_tpu.core.metrics import SegConfusionAccumulator
+
+
+class DataBatch:
+    """Minimal mx.io.DataBatch mirror: named input arrays."""
+
+    def __init__(self, data: Sequence[Any], provide_data=None, provide_label=None):
+        self.data = list(data)
+        self.provide_data = provide_data
+        self.provide_label = provide_label
+
+
+class Predictor:
+    def __init__(
+        self,
+        symbol: Callable,  # apply_fn(variables, *data) -> dict[str, array]
+        data_names: Sequence[str],
+        label_names: Sequence[str] = (),
+        context=None,
+        max_data_shapes=None,
+        provide_data=None,
+        provide_label=None,
+        arg_params=None,
+        aux_params=None,
+    ):
+        self._apply = symbol
+        self.data_names = tuple(data_names)
+        self.label_names = tuple(label_names or ())
+        # arg/aux params mirror MXNet's split; merged into one variables dict
+        variables = {}
+        if arg_params:
+            variables["params"] = arg_params
+        if aux_params:
+            variables["batch_stats"] = aux_params
+        self._variables = variables if variables else arg_params
+        self._jitted = jax.jit(lambda v, *data: self._apply(v, *data))
+
+    def predict(self, data_batch: DataBatch) -> list[dict]:
+        """Returns [ {output_name: array} ] (one dict per sub-batch; this
+        runtime always returns a single fused dict, matching the reference's
+        single-context common case)."""
+        out = self._jitted(self._variables, *data_batch.data)
+        if not isinstance(out, dict):
+            out = {"output": out}
+        return [out]
+
+
+def pred_eval(
+    key_predictor: Predictor,
+    cur_predictor: Predictor,
+    test_iter,
+    num_classes: int,
+    key_interval: int,
+    logger=None,
+    vis: bool = False,
+):
+    """Reference-shaped per-frame eval loop.
+
+    ``test_iter`` yields dicts per frame:
+      {'data': (1,H,W,3) normalized frame, 'label': (1,H,W) or None,
+       'is_key': bool, 'anchor': previous/key frame per propagate mode}
+    The key predictor must output {'prop': ..., 'pred': argmax map};
+    the cur predictor takes (data, anchor, prop) and outputs the same.
+    Returns (mIoU, per-class IoU, timing dict).
+    """
+    log = logger.info if logger else print
+    acc = SegConfusionAccumulator(num_classes)
+    t_data = t_net = 0.0
+    n_frames = 0
+    prop = None
+    t0 = time.time()
+    for frame in test_iter:
+        t_data += time.time() - t0
+        t1 = time.time()
+        if frame["is_key"] or prop is None:
+            out = key_predictor.predict(DataBatch([frame["data"]]))[0]
+        else:
+            out = cur_predictor.predict(
+                DataBatch([frame["data"], frame["anchor"], prop])
+            )[0]
+        prop = out["prop"]
+        pred = out["pred"]
+        jax.block_until_ready(pred)
+        t_net += time.time() - t1
+        if frame.get("label") is not None:
+            acc.update(pred, frame["label"])
+        n_frames += 1
+        if n_frames % 100 == 0:
+            log(
+                f"testing {n_frames} frames "
+                f"data {t_data / n_frames:.4f}s net {t_net / n_frames:.4f}s"
+            )
+        t0 = time.time()
+    miou, iou = acc.result()
+    fps = n_frames / max(t_net, 1e-9)
+    log(f"frames {n_frames}  net fps {fps:.2f}  mIoU {miou * 100:.2f}")
+    return miou, iou, {"t_data": t_data, "t_net": t_net, "frames": n_frames, "fps": fps}
+
+
+def pred_eval_clips(
+    model,
+    variables,
+    clip_iter,
+    num_classes: int,
+    interval: int,
+    propagate: str = "incremental",
+    logger=None,
+):
+    """Fast path: batched clip inference (one fused XLA program per clip
+    batch via lax.scan) — the TPU-native replacement for the per-frame loop.
+
+    ``clip_iter`` yields {'clip': (B,F,H,W,3) normalized,
+                          'label': (B,F,H,W) int with 255 ignore everywhere
+                          except annotated frames (or None)}.
+    """
+    from accel_tpu.core.pipeline import clip_predictions
+
+    log = logger.info if logger else print
+    acc = SegConfusionAccumulator(num_classes)
+
+    @jax.jit
+    def run(variables, clip):
+        return clip_predictions(model, variables, clip, interval, propagate)
+
+    t_net = 0.0
+    n_frames = 0
+    for item in clip_iter:
+        clip = item["clip"]
+        t1 = time.time()
+        preds = run(variables, clip)
+        jax.block_until_ready(preds)
+        t_net += time.time() - t1
+        n_frames += clip.shape[0] * clip.shape[1]
+        if item.get("label") is not None:
+            acc.update(preds, item["label"])
+    miou, iou = acc.result()
+    fps = n_frames / max(t_net, 1e-9)
+    log(f"frames {n_frames}  net fps {fps:.2f}  mIoU {miou * 100:.2f}")
+    return miou, iou, {"t_net": t_net, "frames": n_frames, "fps": fps}

@@ -1,0 +1,135 @@
+"""Training: optimizer, train step, fit loop.
+
+Reference counterparts (SURVEY.md §2, §3.2): ``<net>/train_end2end.py``
+(SGD + WarmupMultiFactorScheduler, per-epoch checkpoints),
+``core/module.py:MutableModule.fit`` and the kvstore('device') gradient
+allreduce of ``DataParallelExecutorGroup``.
+
+TPU-native shape: one jitted ``train_step`` closed over a mesh — batch
+sharded on the 'data' axis, params replicated; XLA inserts the gradient
+allreduce over ICI. Buffers are donated so the optimizer update is
+in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from accel_tpu.core.lr_schedule import lr_steps_from_epochs, warmup_multifactor_schedule
+from accel_tpu.core.pipeline import pair_loss
+from accel_tpu.parallel.mesh import batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    variables: Any  # {'params': ..., 'batch_stats': ...}
+    opt_state: Any
+
+
+def make_optimizer(cfg, epoch_size: int):
+    """SGD + momentum + weight decay + warmup-multistep schedule (reference
+    train_end2end.py optimizer_params)."""
+    tr = cfg.TRAIN
+    steps = lr_steps_from_epochs(tr.lr_step, epoch_size, tr.begin_epoch)
+    schedule = warmup_multifactor_schedule(
+        base_lr=float(tr.lr),
+        steps=steps,
+        factor=float(tr.lr_factor),
+        warmup=bool(tr.warmup),
+        warmup_lr=float(tr.warmup_lr),
+        warmup_steps=int(tr.warmup_step),
+    )
+    tx = optax.chain(
+        optax.add_decayed_weights(float(tr.wd)),
+        optax.sgd(learning_rate=schedule, momentum=float(tr.momentum)),
+    )
+    return tx, schedule
+
+
+def init_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        variables=variables,
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def make_train_step(model, tx, num_classes: int, loss_scale: float = 1.0, mesh=None):
+    """Build the jitted train step. With a mesh, batch is data-sharded and
+    state replicated; without, plain jit (single device)."""
+
+    def step_fn(state: TrainState, batch):
+        def loss_fn(params):
+            variables = dict(state.variables)
+            variables["params"] = params
+            return pair_loss(model, variables, batch, num_classes, loss_scale)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.variables["params"])
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.variables["params"]
+        )
+        params = optax.apply_updates(state.variables["params"], updates)
+        variables = dict(state.variables)
+        variables["params"] = params
+        new_state = TrainState(
+            step=state.step + 1, variables=variables, opt_state=opt_state
+        )
+        return new_state, {"loss": loss}
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    rep = replicated(mesh)
+    dsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, dsh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def fit(
+    model,
+    state: TrainState,
+    train_step,
+    data_iter: Iterable,
+    epochs: int,
+    epoch_size: int,
+    logger=None,
+    frequent: int = 20,
+    epoch_end_callback: Callable[[int, TrainState], None] | None = None,
+    begin_epoch: int = 0,
+):
+    """Reference-shaped fit loop (MutableModule.fit): per-batch step with a
+    Speedometer-style throughput log, per-epoch callback for checkpointing."""
+    log = logger.info if logger else print
+    for epoch in range(begin_epoch, epochs):
+        t0 = time.time()
+        n_since = 0
+        loss_acc = 0.0
+        for i, batch in zip(range(epoch_size), data_iter):
+            state, metrics = train_step(state, batch)
+            n_since += 1
+            if (i + 1) % frequent == 0:
+                loss = float(metrics["loss"])
+                dt = time.time() - t0
+                bsz = batch["data"].shape[0]
+                log(
+                    f"Epoch[{epoch}] Batch [{i + 1}/{epoch_size}]\t"
+                    f"Speed: {n_since * bsz / dt:.2f} samples/sec\t"
+                    f"FCNLogLoss={loss:.5f}"
+                )
+                t0 = time.time()
+                n_since = 0
+        if epoch_end_callback is not None:
+            jax.block_until_ready(state.variables)
+            epoch_end_callback(epoch, state)
+    return state

@@ -1,0 +1,201 @@
+"""Accel: corrective-fusion video segmentation (the flagship model family).
+
+Composes the three reference model families (SURVEY.md §0) in one module:
+
+- ``deeplab``  — per-frame DeepLab only (reference ``deeplab/``)
+- ``dff``      — keyframe features warped forward by FlowNet flow, shared
+  score head (reference ``dff_deeplab/``; caches + warps the 1024-ch fc6
+  *feature* tensor, DFF paper §3)
+- ``accel``    — DFF propagation of the reference branch *score* map + a
+  per-frame update branch + the 1x1 corrective-fusion conv
+  (reference Accel symbols; Accel paper arXiv:1807.06667 §3)
+
+All branches emit at feature stride; fusion and loss run at stride
+resolution with a single bilinear upsample at the very end — the per-frame
+non-key computation (flow -> warp -> scale-modulate -> update branch ->
+fusion) is one fused XLA program, per BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from accel_tpu.models.deeplab import DeepLab
+from accel_tpu.models.flownet import FlowNetS
+from accel_tpu.ops.upsample import resize_bilinear
+from accel_tpu.ops.warp import bilinear_warp, flow_to_feature_res
+
+
+def _fusion_init(num_classes: int):
+    """1x1 fusion kernel init: average the two score maps (0.5*I | 0.5*I)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == (1, 1, 2 * num_classes, num_classes), shape
+        eye = jnp.eye(num_classes, dtype=dtype) * 0.5
+        return jnp.concatenate([eye, eye], axis=0).reshape(shape)
+
+    return init
+
+
+class AccelNet(nn.Module):
+    """Unified model for the deeplab / dff / accel families."""
+
+    family: str = "accel"  # 'deeplab' | 'dff' | 'accel'
+    ref_depth: int = 101
+    update_depth: int = 18
+    num_classes: int = 19
+    feat_stride: int = 16
+    head_channels: int = 1024
+    head_dilation: int = 6
+    flow_input_downscale: int = 2
+    use_scale_field: bool = True
+    bn_frozen: bool = True
+    dtype: Any = jnp.bfloat16
+    use_pallas_warp: bool = True
+    warp_max_disp: int = 8
+
+    @property
+    def warp_tensor(self) -> str:
+        # DFF warps fc6 features (head applied per frame); Accel warps the
+        # 19-ch reference score map (SURVEY.md §7 hard part 4).
+        return "features" if self.family == "dff" else "scores"
+
+    def setup(self):
+        self.ref_net = DeepLab(
+            depth=self.ref_depth,
+            num_classes=self.num_classes,
+            output_stride=self.feat_stride,
+            head_channels=self.head_channels,
+            head_dilation=self.head_dilation,
+            bn_frozen=self.bn_frozen,
+            dtype=self.dtype,
+            name="ref_net",
+        )
+        if self.family == "accel":
+            self.update_net = DeepLab(
+                depth=self.update_depth,
+                num_classes=self.num_classes,
+                output_stride=self.feat_stride,
+                head_channels=self.head_channels,
+                head_dilation=self.head_dilation,
+                bn_frozen=self.bn_frozen,
+                dtype=self.dtype,
+                name="update_net",
+            )
+            self.fusion = nn.Conv(
+                self.num_classes, (1, 1), dtype=jnp.float32,
+                kernel_init=_fusion_init(self.num_classes),
+                name="fusion",
+            )
+        if self.family in ("dff", "accel"):
+            scale_ch = (
+                self.head_channels if self.warp_tensor == "features" else self.num_classes
+            )
+            self.flownet = FlowNetS(
+                scale_channels=scale_ch,
+                use_scale_field=self.use_scale_field,
+                dtype=self.dtype,
+                name="flownet",
+            )
+
+    # ---- branch applications -------------------------------------------
+
+    def ref_propagated(self, image, train: bool = False):
+        """Keyframe pass of the reference branch -> the tensor that gets
+        cached and warped (scores for accel, fc6 features for dff)."""
+        mode = "features" if self.warp_tensor == "features" else "full"
+        return self.ref_net(image, train=train, mode=mode)
+
+    def ref_scores_from_propagated(self, prop):
+        """Turn the propagated tensor into score logits."""
+        if self.warp_tensor == "features":
+            return self.ref_net.scores_from_features(prop)
+        return prop
+
+    def update_scores(self, image, train: bool = False):
+        return self.update_net(image, train=train)
+
+    def flow(self, cur, anchor, train: bool = False):
+        """Flow mapping cur-frame pixels to their anchor-frame source, at
+        feature resolution/units, plus the scale field at feature res.
+
+        ``cur``/``anchor``: (N,H,W,3) normalized full-res frames.
+        """
+        ds = self.flow_input_downscale
+        h, w = cur.shape[1] // ds, cur.shape[2] // ds
+        pair = jnp.concatenate(
+            [resize_bilinear(cur, (h, w)), resize_bilinear(anchor, (h, w))], axis=-1
+        )
+        flow_small, scale_small = self.flownet(pair)
+        feat_hw = (cur.shape[1] // self.feat_stride, cur.shape[2] // self.feat_stride)
+        flow = flow_to_feature_res(flow_small, feat_hw, ds / self.feat_stride)
+        scale = resize_bilinear(scale_small, feat_hw)
+        return flow, scale
+
+    def warp(self, prop, flow, scale):
+        warped = bilinear_warp(
+            prop.astype(jnp.float32), flow,
+            use_pallas=self.use_pallas_warp, max_disp=self.warp_max_disp,
+        )
+        if self.use_scale_field:
+            warped = warped * scale
+        return warped
+
+    def fuse(self, warped_ref_scores, update_scores):
+        x = jnp.concatenate(
+            [warped_ref_scores.astype(jnp.float32), update_scores.astype(jnp.float32)],
+            axis=-1,
+        )
+        return self.fusion(x)
+
+    # ---- train-time pair forward ---------------------------------------
+
+    def __call__(self, cur, key, eq_flag=None, train: bool = False):
+        """Training pair forward -> logits at feature stride.
+
+        ``cur``: annotated frame (N,H,W,3); ``key``: its sampled keyframe;
+        ``eq_flag``: (N,) 1.0 where cur == key (reference's eq_flag input —
+        selects the un-warped path so early-training flow noise doesn't
+        corrupt the task head; SURVEY.md §3.2).
+        """
+        if self.family == "deeplab":
+            return self.ref_net(cur, train=train)
+
+        prop_key = self.ref_propagated(key, train=train)
+        flow, scale = self.flow(cur, key, train=train)
+        warped = self.warp(prop_key, flow, scale)
+        if eq_flag is not None:
+            e = eq_flag.reshape(-1, 1, 1, 1).astype(jnp.float32)
+            warped = e * prop_key.astype(jnp.float32) + (1.0 - e) * warped
+        ref_scores = self.ref_scores_from_propagated(warped)
+
+        if self.family == "dff":
+            return ref_scores
+        upd = self.update_scores(cur, train=train)
+        return self.fuse(ref_scores, upd)
+
+
+def build_model(cfg) -> AccelNet:
+    """Model zoo entry: build an AccelNet from a config (reference: the
+    per-network ``symbols/<name>.get_symbol`` dispatch, SURVEY.md L3)."""
+    net = cfg.network
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[net.dtype]
+    return AccelNet(
+        family=net.name,
+        ref_depth=int(net.ref_depth),
+        update_depth=int(net.update_depth),
+        num_classes=int(cfg.dataset.NUM_CLASSES),
+        feat_stride=int(net.feat_stride),
+        head_channels=int(net.head_channels),
+        head_dilation=int(net.head_dilation),
+        flow_input_downscale=int(net.flow_input_downscale),
+        use_scale_field=bool(net.use_scale_field),
+        bn_frozen=bool(net.bn_frozen),
+        dtype=dtype,
+        use_pallas_warp=bool(net.use_pallas_warp),
+        warp_max_disp=int(net.warp_max_disp),
+    )

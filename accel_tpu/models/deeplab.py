@@ -1,0 +1,88 @@
+"""DeepLab (LargeFOV-style) segmentation head + per-frame model.
+
+Reference counterpart: ``deeplab/symbols/resnet_v1_101_deeplab.py`` — dilated
+backbone, an atrous fc6 conv, a 1x1 score conv to NUM_CLASSES, and a
+fixed-weight bilinear upsample back to input resolution (SURVEY.md §2
+"DeepLab symbol"). Score maps stay at feature stride until the very end so
+the expensive pixels ride at low resolution.
+
+The head is split into ``features`` (fc6) and ``scores`` (1x1 classifier)
+because the DFF family caches-and-warps the fc6 *feature* tensor while Accel
+caches-and-warps the *score* tensor (SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from accel_tpu.models.resnet import DilatedResNet
+from accel_tpu.ops.upsample import resize_bilinear
+
+
+class DeepLabHead(nn.Module):
+    num_classes: int = 19
+    head_channels: int = 1024
+    head_dilation: int = 6
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feat, mode: str = "full"):
+        """mode: 'full' = fc6+score, 'features' = fc6 only, 'scores' = score only."""
+        x = feat
+        if mode in ("full", "features"):
+            d = self.head_dilation
+            x = nn.Conv(
+                self.head_channels, (3, 3),
+                kernel_dilation=(d, d), padding=[(d, d), (d, d)],
+                dtype=self.dtype, name="fc6",
+            )(x)
+            x = nn.relu(x)
+            if mode == "features":
+                return x
+        # score head in f32: 19 channels of logits feeding softmax/argmax
+        x = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32, name="score")(
+            x.astype(jnp.float32)
+        )
+        return x
+
+
+class DeepLab(nn.Module):
+    """Per-frame segmentation model (the reference's baseline family)."""
+
+    depth: int = 101
+    num_classes: int = 19
+    output_stride: int = 16
+    head_channels: int = 1024
+    head_dilation: int = 6
+    bn_frozen: bool = True
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = DilatedResNet(
+            depth=self.depth,
+            output_stride=self.output_stride,
+            bn_frozen=self.bn_frozen,
+            dtype=self.dtype,
+        )
+        self.head = DeepLabHead(
+            num_classes=self.num_classes,
+            head_channels=self.head_channels,
+            head_dilation=self.head_dilation,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, image, train: bool = False, mode: str = "full"):
+        """image (N,H,W,3) normalized -> logits/features at feature stride."""
+        feat = self.backbone(image, train=train)
+        return self.head(feat, mode=mode)
+
+    def scores_from_features(self, features):
+        return self.head(features, mode="scores")
+
+    def predict_full(self, image, train: bool = False):
+        """Full-resolution logits (bilinear upsample of stride-level scores)."""
+        score = self(image, train=train)
+        return resize_bilinear(score, image.shape[1:3])

@@ -1,0 +1,176 @@
+"""Dilated ResNet v1 backbones (18/34/50/101), NHWC, TPU-first.
+
+Reference counterpart: the MXNet symbol builders
+``deeplab/symbols/resnet_v1_101_deeplab.py`` and the ResNet-18/34/50 update
+branches of the Accel fusion symbols (SURVEY.md §2 "DeepLab symbol",
+"Accel fusion symbol"). Dilation pattern follows the DeepLab recipe: at
+``output_stride=16`` stage 4 runs stride-1/dilation-2; at ``output_stride=8``
+stages 3 and 4 run stride-1 with dilations 2 and 4.
+
+TPU-first choices: NHWC layout (XLA's native conv layout on TPU), bfloat16
+compute with float32 params/BN, ``conv_general_dilated`` via flax Conv
+``kernel_dilation`` for the atrous convs (maps directly onto the MXU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+STAGE_PLANS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BN used as a fixed affine transform (MSRA codebases freeze BN stats
+    and train only with pretrained means/vars; with from-scratch training
+    this degenerates to a learned scale+bias, which is what we want under
+    small per-chip batch sizes anyway)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        inv = scale / jnp.sqrt(var.value + 1e-5)
+        y = x.astype(jnp.float32) * inv + (bias - mean.value * inv)
+        return y.astype(self.dtype)
+
+
+def make_norm(bn_frozen: bool, dtype, train: bool):
+    if bn_frozen:
+        return lambda: FrozenBatchNorm(dtype=dtype)
+    return lambda: nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype
+    )
+
+
+class BasicBlock(nn.Module):
+    width: int
+    stride: int = 1
+    dilation: int = 1
+    bn_frozen: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = make_norm(self.bn_frozen, self.dtype, train)
+        residual = x
+        y = nn.Conv(
+            self.width, (3, 3), strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation, self.dilation)] * 2,
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.width, (3, 3),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation, self.dilation)] * 2,
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = norm()(y)
+        if residual.shape[-1] != self.width or self.stride != 1:
+            residual = nn.Conv(
+                self.width, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample",
+            )(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    width: int  # inner width; output is 4*width
+    stride: int = 1
+    dilation: int = 1
+    bn_frozen: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = make_norm(self.bn_frozen, self.dtype, train)
+        out_ch = self.width * 4
+        residual = x
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.width, (3, 3), strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation, self.dilation)] * 2,
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = norm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = norm()(y)
+        if residual.shape[-1] != out_ch or self.stride != 1:
+            residual = nn.Conv(
+                out_ch, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample",
+            )(residual)
+            residual = norm()(residual)
+        return nn.relu(y + residual)
+
+
+class DilatedResNet(nn.Module):
+    """ResNet v1 trunk with DeepLab dilation; returns the C5 feature map.
+
+    ``output_stride`` in {8, 16, 32}.
+    """
+
+    depth: int = 101
+    output_stride: int = 16
+    bn_frozen: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_kind, plan = STAGE_PLANS[self.depth]
+        block_cls = BasicBlock if block_kind == "basic" else Bottleneck
+        norm = make_norm(self.bn_frozen, self.dtype, train)
+
+        # stage strides/dilations per output stride
+        if self.output_stride == 32:
+            strides, dils = (1, 2, 2, 2), (1, 1, 1, 1)
+        elif self.output_stride == 16:
+            strides, dils = (1, 2, 2, 1), (1, 1, 1, 2)
+        elif self.output_stride == 8:
+            strides, dils = (1, 2, 1, 1), (1, 1, 2, 4)
+        else:
+            raise ValueError(f"bad output_stride {self.output_stride}")
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x = norm()(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        widths = (64, 128, 256, 512)
+        for si, (n_blocks, w, s, d) in enumerate(zip(plan, widths, strides, dils)):
+            for bi in range(n_blocks):
+                x = block_cls(
+                    width=w,
+                    stride=s if bi == 0 else 1,
+                    # DeepLab "multi-grid"-free recipe: uniform dilation per stage
+                    dilation=d,
+                    bn_frozen=self.bn_frozen,
+                    dtype=self.dtype,
+                    name=f"layer{si + 1}_block{bi}",
+                )(x, train=train)
+        return x

@@ -118,22 +118,16 @@ def bilinear_warp(
     return bilinear_warp_xla(feat, flow)
 
 
-def flow_to_feature_res(flow: jnp.ndarray, feat_hw: tuple[int, int], flow_px_scale: float) -> jnp.ndarray:
+def flow_to_feature_res(flow: jnp.ndarray, feat_hw: tuple[int, int], unit_scale: float) -> jnp.ndarray:
     """Resize a flow field to feature resolution and rescale its units.
 
-    ``flow`` is (N, h, w, 2) in pixels *at its own resolution*;
-    ``flow_px_scale`` converts those pixel units to feature-resolution
-    pixels (e.g. full-res flow applied at stride 16 -> 1/16). The reference
-    does the same rescale before GridGenerator (SURVEY.md §3.3 step 2).
+    ``flow`` is (N, h, w, 2); its *values* are displacement in some pixel
+    unit (e.g. FlowNet-input pixels). ``unit_scale`` converts that unit to
+    feature-resolution pixels (e.g. FlowNet ran on 2x-downscaled frames and
+    features are at stride 16 -> unit_scale = 2/16). The reference does the
+    same rescale before GridGenerator (SURVEY.md §3.3 step 2).
     """
     from accel_tpu.ops.upsample import resize_bilinear
 
-    Hf, Wf = feat_hw
-    n, h, w, _ = flow.shape
-    # spatial resize + unit change: resizing changes the grid the vectors
-    # live on, not their units; units change by flow_px_scale times the
-    # ratio of resolutions.
-    sy = Hf / h
-    sx = Wf / w
-    out = resize_bilinear(flow.astype(jnp.float32), (Hf, Wf))
-    return out * jnp.asarray([flow_px_scale * sx, flow_px_scale * sy], jnp.float32)
+    out = resize_bilinear(flow.astype(jnp.float32), feat_hw)
+    return out * jnp.float32(unit_scale)
