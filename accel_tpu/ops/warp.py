@@ -85,8 +85,13 @@ def bilinear_warp_pallas(feat: jnp.ndarray, flow: jnp.ndarray, max_disp: int = 1
     return warp_pallas_fwd(feat, flow, max_disp)
 
 
-def _warp_pallas_fwd_rule(max_disp, feat, flow):
-    out = bilinear_warp_pallas(feat, flow, max_disp)
+def _warp_pallas_fwd_rule(feat, flow, max_disp):
+    # NB: in jax>=0.9 the custom_vjp fwd rule receives arguments in their
+    # original positions (nondiff included); only the bwd rule gets the
+    # nondiff args as leading arguments.
+    from accel_tpu.ops.warp_pallas import warp_pallas_fwd
+
+    out = warp_pallas_fwd(feat, flow, max_disp)
     return out, (feat, flow)
 
 

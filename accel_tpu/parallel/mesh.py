@@ -30,8 +30,8 @@ def make_mesh(data: int = -1, spatial: int = 1, devices=None) -> Mesh:
     if data == -1:
         assert n % spatial == 0, f"{n} devices not divisible by spatial={spatial}"
         data = n // spatial
-    assert data * spatial == n, f"mesh {data}x{spatial} != {n} devices"
-    arr = np.asarray(devices).reshape(data, spatial)
+    assert data * spatial <= n, f"mesh {data}x{spatial} > {n} devices"
+    arr = np.asarray(devices[: data * spatial]).reshape(data, spatial)
     return Mesh(arr, ("data", "spatial"))
 
 

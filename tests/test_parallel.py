@@ -1,0 +1,84 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh — the thing
+the reference never had (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accel_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, spatial=2)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+    mesh = make_mesh(data=-1, spatial=2)
+    assert mesh.shape["data"] == len(jax.devices()) // 2
+
+
+def test_data_parallel_train_step(tiny_accel):
+    from accel_tpu.config import default_config
+    from accel_tpu.core.trainer import init_train_state, make_optimizer, make_train_step
+
+    m, variables = tiny_accel
+    mesh = make_mesh(data=8, spatial=1)
+    cfg = default_config()
+    tx, _ = make_optimizer(cfg, epoch_size=100)
+    state = init_train_state(m, variables, tx)
+    step = make_train_step(m, tx, num_classes=19, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((8, 128, 128, 3)), jnp.float32) * 0.1,
+        "data_ref": jnp.asarray(rng.standard_normal((8, 128, 128, 3)), jnp.float32) * 0.1,
+        "eq_flag": jnp.zeros((8,)),
+        "label": jnp.asarray(rng.integers(0, 19, (8, 128, 128)), jnp.int32),
+    }
+    batch = shard_batch(mesh, batch)
+    state = jax.device_put(state, replicated(mesh))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_dp_matches_single_device(tiny_accel):
+    """Gradient allreduce over the mesh gives the same loss as one device."""
+    from accel_tpu.core.pipeline import pair_loss
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(1)
+    batch = {
+        "data": jnp.asarray(rng.standard_normal((4, 128, 128, 3)), jnp.float32) * 0.1,
+        "data_ref": jnp.asarray(rng.standard_normal((4, 128, 128, 3)), jnp.float32) * 0.1,
+        "eq_flag": jnp.zeros((4,)),
+        "label": jnp.asarray(rng.integers(0, 19, (4, 128, 128)), jnp.int32),
+    }
+    l_single = float(pair_loss(m, variables, batch, 19))
+
+    mesh = make_mesh(data=4, spatial=1)
+    sharded = shard_batch(mesh, batch)
+    v_rep = jax.device_put(variables, replicated(mesh))
+    l_mesh = float(
+        jax.jit(lambda v, b: pair_loss(m, v, b, 19))(v_rep, sharded)
+    )
+    np.testing.assert_allclose(l_mesh, l_single, rtol=1e-5)
+
+
+def test_spatial_sharding_inference(tiny_accel):
+    """H-axis (spatial) sharding: XLA inserts halo exchanges for convs and
+    the result matches unsharded inference."""
+    from accel_tpu.core.pipeline import clip_logits
+
+    m, variables = tiny_accel
+    clip = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 2, 128, 128, 3)), jnp.float32
+    ) * 0.1
+    ref = np.asarray(clip_logits(m, variables, clip, interval=2))
+
+    mesh = make_mesh(data=2, spatial=4)
+    clip_sh = jax.device_put(clip, batch_sharding(mesh, spatial_axis=2))
+    v_rep = jax.device_put(variables, replicated(mesh))
+    out = np.asarray(
+        jax.jit(lambda v, c: clip_logits(m, v, c, interval=2))(v_rep, clip_sh)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4)

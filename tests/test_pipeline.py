@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from accel_tpu.core.pipeline import clip_logits, clip_predictions, pair_loss
+
+
+def test_clip_scan_shapes(tiny_accel):
+    m, variables = tiny_accel
+    clip = jnp.ones((1, 10, 128, 128, 3)) * 0.1
+    lg = clip_logits(m, variables, clip, interval=5)
+    assert lg.shape == (1, 10, 8, 8, 19)
+    pr = clip_predictions(m, variables, clip, interval=5)
+    assert pr.shape == (1, 10, 128, 128)
+    assert pr.dtype == jnp.uint8
+
+
+def test_interval_1_equals_per_frame(tiny_accel):
+    """interval=1 -> every frame is a keyframe: Accel == fuse(ref, update)
+    per frame, no flow/warp in the path (SURVEY.md §4 property tests)."""
+    m, variables = tiny_accel
+    rng = jax.random.PRNGKey(0)
+    clip = jax.random.normal(rng, (1, 2, 128, 128, 3)) * 0.1
+    lg = clip_logits(m, variables, clip, interval=1)
+    for f in range(2):
+        frame = clip[:, f]
+        ref = m.apply(variables, frame, method="ref_propagated")
+        upd = m.apply(variables, frame, method="update_scores")
+        exp = m.apply(variables, ref, upd, method="fuse")
+        np.testing.assert_allclose(np.asarray(lg[:, f]), np.asarray(exp), atol=1e-5)
+
+
+def test_keyframe_output_equals_pair_eq_path(tiny_accel):
+    """First frame of a group == the eq_flag=1 training-pair output."""
+    m, variables = tiny_accel
+    img = jax.random.normal(jax.random.PRNGKey(7), (1, 128, 128, 3)) * 0.1
+    clip = jnp.stack([img, img], axis=1)
+    lg = clip_logits(m, variables, clip, interval=2)
+    pair = m.apply(variables, img, img, jnp.ones((1,)), train=False)
+    np.testing.assert_allclose(np.asarray(lg[:, 0]), np.asarray(pair), atol=1e-5)
+
+
+def test_static_frames_propagation_consistency(tiny_accel):
+    """On a static clip (identical frames), zero-init flow keeps the warped
+    reference exactly equal to the keyframe reference -> all frames of a
+    group produce identical logits."""
+    m, variables = tiny_accel
+    img = jax.random.normal(jax.random.PRNGKey(8), (1, 128, 128, 3)) * 0.1
+    clip = jnp.repeat(img[:, None], 4, axis=1)
+    lg = clip_logits(m, variables, clip, interval=4)
+    for f in range(1, 4):
+        np.testing.assert_allclose(
+            np.asarray(lg[:, f]), np.asarray(lg[:, 0]), atol=1e-4
+        )
+
+
+def test_pair_loss_finite_and_decreases_on_step(tiny_accel):
+    m, variables = tiny_accel
+    rng = jax.random.PRNGKey(1)
+    batch = {
+        "data": jax.random.normal(rng, (1, 128, 128, 3)) * 0.1,
+        "data_ref": jax.random.normal(rng, (1, 128, 128, 3)) * 0.1,
+        "eq_flag": jnp.zeros((1,)),
+        "label": jax.random.randint(jax.random.PRNGKey(2), (1, 128, 128), 0, 19),
+    }
+    loss = float(pair_loss(m, variables, batch, 19))
+    assert np.isfinite(loss)
+    # one SGD step on params lowers the loss
+    grads = jax.grad(
+        lambda p: pair_loss(
+            m, {"params": p, "batch_stats": variables["batch_stats"]}, batch, 19
+        )
+    )(variables["params"])
+    new_params = jax.tree.map(lambda p, g: p - 0.5 * g, variables["params"], grads)
+    loss2 = float(
+        pair_loss(
+            m, {"params": new_params, "batch_stats": variables["batch_stats"]},
+            batch, 19,
+        )
+    )
+    assert loss2 < loss
