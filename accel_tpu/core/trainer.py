@@ -86,11 +86,11 @@ def make_train_step(model, tx, num_classes: int, loss_scale: float = 1.0, mesh=N
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
+    # state replicated; batch shardings are inherited from the arguments so
+    # callers can shard data-only or data+spatial (shard_batch) freely.
     rep = replicated(mesh)
-    dsh = batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(rep, dsh),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )

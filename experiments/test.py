@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Evaluation driver: video mIoU + throughput at a keyframe interval.
+
+Reference counterpart: ``<net>/test.py`` + ``function/test_*.py``
+(SURVEY.md §3.1) — restores a checkpoint, runs the video eval loop,
+prints per-class IoU / mIoU and net-vs-data timing.
+
+Usage: python experiments/test.py --cfg experiments/cfgs/accel18_cityscapes.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test Accel/DFF/DeepLab (TPU-native)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--vis", action="store_true")
+    p.add_argument("--ignore_cache", action="store_true")
+    p.add_argument("--interval", type=int, default=None, help="override KEY_FRAME_INTERVAL")
+    p.add_argument("--max-items", type=int, default=None)
+    p.add_argument("--random-weights", action="store_true",
+                   help="skip checkpoint restore (pipeline smoke / timing)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from accel_tpu.config import load_config
+    from accel_tpu.core.checkpoint import latest_epoch, load_checkpoint
+    from accel_tpu.core.predictor import pred_eval_clips
+    from accel_tpu.data.loader import TestClipLoader
+    from accel_tpu.data.prefetch import PrefetchingIter
+    from accel_tpu.models.accel import build_model
+    from accel_tpu.utils.logger import create_logger
+
+    cfg = load_config(args.cfg)
+    if args.interval:
+        cfg.TEST.KEY_FRAME_INTERVAL = args.interval
+    cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
+    logger, out_dir = create_logger(cfg.output_path, cfg_name, cfg.dataset.test_image_set)
+
+    if cfg.dataset.dataset.lower().startswith("city"):
+        from accel_tpu.data.cityscapes import Cityscape
+
+        imdb = Cityscape(cfg.dataset.test_image_set, cfg.dataset.root_path, cfg.dataset.dataset_path)
+    else:
+        from accel_tpu.data.camvid import CamVid
+
+        imdb = CamVid(cfg.dataset.test_image_set, cfg.dataset.root_path, cfg.dataset.dataset_path)
+
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, jnp.ones((1,)), train=False)
+
+    if not args.random_weights:
+        train_dir = os.path.join(cfg.output_path, cfg_name, cfg.dataset.image_set)
+        prefix = os.path.join(train_dir, cfg.TRAIN.model_prefix)
+        epoch = int(cfg.TEST.test_epoch) - 1
+        if latest_epoch(prefix) is not None:
+            from accel_tpu.core.trainer import init_train_state, make_optimizer
+
+            tx, _ = make_optimizer(cfg, 1)
+            state = init_train_state(model, variables, tx)
+            epoch = min(epoch, latest_epoch(prefix))
+            state = load_checkpoint(prefix, epoch, state)
+            variables = state.variables
+            logger.info(f"restored {prefix} epoch {epoch}")
+        else:
+            logger.info("no checkpoint found — using random weights")
+
+    loader = TestClipLoader(
+        imdb, cfg, batch_clips=int(cfg.TEST.BATCH_IMAGES), max_items=args.max_items
+    )
+    propagate = str(cfg.network.propagate)
+    miou, iou, stats = pred_eval_clips(
+        model, variables, PrefetchingIter(iter(loader)),
+        int(cfg.dataset.NUM_CLASSES), int(cfg.TEST.KEY_FRAME_INTERVAL),
+        propagate, logger,
+    )
+    for n, v in zip(imdb.class_names, iou):
+        logger.info(f"{n:20s} IU {v * 100:6.2f}")
+    logger.info(
+        f"meanIU {miou * 100:.2f}  fps {stats['fps']:.2f} "
+        f"(interval {cfg.TEST.KEY_FRAME_INTERVAL})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""End-to-end training driver.
+
+Reference counterpart: ``<net>/train_end2end.py`` (SURVEY.md §3.2) — one
+shared driver for all three model families, selected by the experiment yaml
+(``network.name``), instead of the reference's per-network copies.
+
+Usage: python experiments/train.py --cfg experiments/cfgs/accel18_cityscapes.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train Accel/DFF/DeepLab (TPU-native)")
+    p.add_argument("--cfg", required=True, help="experiment yaml")
+    p.add_argument("--frequent", type=int, default=None, help="log frequency")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from accel_tpu.config import load_config
+    from accel_tpu.core.checkpoint import save_checkpoint, load_checkpoint, latest_epoch
+    from accel_tpu.core.trainer import (
+        fit,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from accel_tpu.data.loader import TrainPairLoader
+    from accel_tpu.data.prefetch import PrefetchingIter
+    from accel_tpu.models.accel import build_model
+    from accel_tpu.parallel.mesh import mesh_from_cfg, replicated, shard_batch
+    from accel_tpu.utils.logger import create_logger
+
+    cfg = load_config(args.cfg)
+    cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
+    logger, out_dir = create_logger(cfg.output_path, cfg_name, cfg.dataset.image_set)
+    logger.info(f"config {args.cfg}\ndevices {jax.devices()}")
+
+    # dataset + loader
+    if cfg.dataset.dataset.lower().startswith("city"):
+        from accel_tpu.data.cityscapes import Cityscape
+
+        imdb = Cityscape(cfg.dataset.image_set, cfg.dataset.root_path, cfg.dataset.dataset_path)
+    else:
+        from accel_tpu.data.camvid import CamVid
+
+        imdb = CamVid(cfg.dataset.image_set, cfg.dataset.root_path, cfg.dataset.dataset_path)
+
+    loader = TrainPairLoader(imdb, cfg)
+    epoch_size = loader.epoch_size
+
+    # model + state
+    model = build_model(cfg)
+    crop = cfg.TRAIN.CROP_SIZE or [512, 512]
+    dummy = jnp.zeros((1, int(crop[0]), int(crop[1]), 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, jnp.ones((1,)), train=False)
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    logger.info(f"model {cfg.network.name} params {n_params / 1e6:.1f}M epoch_size {epoch_size}")
+
+    mesh = mesh_from_cfg(cfg)
+    tx, _ = make_optimizer(cfg, epoch_size)
+    state = init_train_state(model, variables, tx)
+
+    prefix = os.path.join(out_dir, cfg.TRAIN.model_prefix)
+    begin_epoch = int(cfg.TRAIN.begin_epoch)
+    if cfg.TRAIN.RESUME:
+        le = latest_epoch(prefix)
+        if le is not None:
+            state = load_checkpoint(prefix, le, state)
+            begin_epoch = le + 1
+            logger.info(f"resumed epoch {le}")
+
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(
+        model, tx, int(cfg.dataset.NUM_CLASSES), float(cfg.TRAIN.loss_scale), mesh
+    )
+    data_iter = PrefetchingIter(
+        iter(loader), depth=int(cfg.tpu.prefetch_depth),
+        transform=lambda b: shard_batch(mesh, b),
+    )
+
+    state = fit(
+        model, state, step, data_iter,
+        epochs=int(cfg.TRAIN.end_epoch), epoch_size=epoch_size,
+        logger=logger, frequent=args.frequent or int(cfg.default.frequent),
+        epoch_end_callback=lambda e, s: save_checkpoint(prefix, e, jax.device_get(s)),
+        begin_epoch=begin_epoch,
+    )
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
