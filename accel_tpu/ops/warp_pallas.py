@@ -59,8 +59,9 @@ def _warp_kernel(fx_ref, fy_ref, feat_ref, out_ref, rdy_ref, acc_ref, *, D: int,
     wx = fx - ix
 
     Hp, Wp = fx.shape  # padded block dims
-    yy = jax.lax.broadcasted_iota(f32, (Hp, Wp), 0)
-    xx = jax.lax.broadcasted_iota(f32, (Hp, Wp), 1)
+    # NB: Mosaic requires integer iota (tpu.iota rejects float results)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 

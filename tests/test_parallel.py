@@ -21,6 +21,10 @@ def test_data_parallel_train_step(tiny_accel):
     from accel_tpu.core.trainer import init_train_state, make_optimizer, make_train_step
 
     m, variables = tiny_accel
+    # deep-copy: the train step donates its state, and on the virtual CPU
+    # mesh device_put may alias the source buffer as one replica shard —
+    # without the copy, donation would delete the session fixture's arrays
+    variables = jax.tree.map(jnp.array, variables)
     mesh = make_mesh(data=8, spatial=1)
     cfg = default_config()
     tx, _ = make_optimizer(cfg, epoch_size=100)
