@@ -11,9 +11,18 @@ Measures on the available device (TPU preferred):
 
 Weights are randomly initialized (throughput is weight-independent); frames
 are synthetic at full Cityscapes resolution. Prints ONE JSON line.
+
+Timing methodology (important on tunneled/remote TPU backends): repeated
+identical dispatches can be served from a result cache and async dispatch
+may not be observable via block_until_ready, so each measurement runs N
+iterations INSIDE one jitted lax.scan over *distinct* inputs (base frame
+scaled by per-step scalars, fresh random scalars per call), returns one
+scalar, forces a host readback, and reports the slope between two scan
+lengths — cancelling the round-trip latency.
 """
 
 import argparse
+import functools
 import json
 import time
 
@@ -45,14 +54,41 @@ def _init_variables(model, H, W):
     return model.init(jax.random.PRNGKey(0), cur, cur, eq, train=False)
 
 
-def _time_fn(fn, *args, iters=10, warmup=2):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
+    """step(variables, input) -> array. Returns seconds per step.
+
+    Scans ``step`` over scaled copies of ``base`` inside one jitted program;
+    the per-call ``scales`` argument is fresh random data so no two calls
+    are identical (defeats any remote result caching).
+    """
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_n(variables, base, scales, n):
+        def body(acc, s):
+            out = step(variables, base * s)
+            return acc + jnp.sum(out.astype(jnp.int32)), ()
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), scales, length=n)
+        return acc
+
+    rng = np.random.default_rng(int(time.time() * 1e3) % 2**31)
+
+    def timed(n):
+        scales = jnp.asarray(rng.uniform(0.9, 1.1, (n,)), jnp.float32)
+        t0 = time.perf_counter()
+        v = int(run_n(variables, base, scales, n))
+        dt = time.perf_counter() - t0
+        if verbose:
+            print(f"  n={n}: {dt:.3f}s (acc={v})")
+        return dt
+
+    # compile both program lengths first
+    timed(n_lo)
+    timed(n_hi)
+    # measure (fresh scales -> fresh computation)
+    t_lo = min(timed(n_lo) for _ in range(2))
+    t_hi = min(timed(n_hi) for _ in range(2))
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 
 def main():
@@ -61,11 +97,12 @@ def main():
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--interval", type=int, default=5)
     ap.add_argument("--clip-batch", type=int, default=1)
-    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     from accel_tpu.core.pipeline import clip_predictions
+    from accel_tpu.ops.upsample import resize_bilinear
 
     H, W, k = args.height, args.width, args.interval
     rng = np.random.default_rng(0)
@@ -77,14 +114,11 @@ def main():
     base_vars = _init_variables(base_model, H, W)
     frame = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
 
-    @jax.jit
     def per_frame(variables, image):
-        from accel_tpu.ops.upsample import resize_bilinear
-
         logits = base_model.apply(variables, image, method="ref_propagated")
         return jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1).astype(jnp.uint8)
 
-    t_base = _time_fn(per_frame, base_vars, frame, iters=args.iters)
+    t_base = _slope_time(per_frame, base_vars, frame, verbose=args.verbose)
     base_fps = 1.0 / t_base
 
     # ---- subject: Accel-18 clip inference @ interval 5 -------------------
@@ -94,11 +128,10 @@ def main():
         rng.standard_normal((args.clip_batch, k, H, W, 3)), jnp.float32
     )
 
-    @jax.jit
     def run_clip(variables, clip):
         return clip_predictions(model, variables, clip, k, "incremental")
 
-    t_clip = _time_fn(run_clip, variables, clip, iters=args.iters)
+    t_clip = _slope_time(run_clip, variables, clip, verbose=args.verbose)
     fps = (args.clip_batch * k) / t_clip
 
     print(
