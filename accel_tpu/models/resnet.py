@@ -50,9 +50,10 @@ class FrozenBatchNorm(nn.Module):
 
 def make_norm(bn_frozen: bool, dtype, train: bool):
     if bn_frozen:
-        return lambda: FrozenBatchNorm(dtype=dtype)
-    return lambda: nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype
+        return lambda name=None: FrozenBatchNorm(dtype=dtype, name=name)
+    return lambda name=None: nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
+        name=name,
     )
 
 
@@ -73,7 +74,7 @@ class BasicBlock(nn.Module):
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        y = norm()(y)
+        y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.width, (3, 3),
@@ -81,13 +82,13 @@ class BasicBlock(nn.Module):
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
         )(y)
-        y = norm()(y)
+        y = norm(name="bn2")(y)
         if residual.shape[-1] != self.width or self.stride != 1:
             residual = nn.Conv(
                 self.width, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample",
             )(residual)
-            residual = norm()(residual)
+            residual = norm(name="ds_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -104,7 +105,7 @@ class Bottleneck(nn.Module):
         out_ch = self.width * 4
         residual = x
         y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = norm()(y)
+        y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.width, (3, 3), strides=(self.stride, self.stride),
@@ -112,16 +113,16 @@ class Bottleneck(nn.Module):
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
         )(y)
-        y = norm()(y)
+        y = norm(name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = norm()(y)
+        y = norm(name="bn3")(y)
         if residual.shape[-1] != out_ch or self.stride != 1:
             residual = nn.Conv(
                 out_ch, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample",
             )(residual)
-            residual = norm()(residual)
+            residual = norm(name="ds_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -157,7 +158,7 @@ class DilatedResNet(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        x = norm()(x)
+        x = norm(name="bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
