@@ -92,6 +92,10 @@ def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
 
 
 def main():
+    import os
+
+    if os.environ.get("ACCEL_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ACCEL_PLATFORM"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)

@@ -50,6 +50,9 @@ def main():
 
     import cv2
     import jax
+
+    if os.environ.get("ACCEL_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ACCEL_PLATFORM"])
     import jax.numpy as jnp
 
     from accel_tpu.config import load_config

@@ -26,7 +26,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    import os as _os
+
     import jax
+
+    if _os.environ.get("ACCEL_PLATFORM"):
+        jax.config.update("jax_platforms", _os.environ["ACCEL_PLATFORM"])
     import jax.numpy as jnp
 
     from accel_tpu.config import load_config
