@@ -48,9 +48,9 @@ def make_defaults() -> Config:
                 "propagate": "incremental",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
-                # norm layer: 'batchnorm' (reference) — frozen at train time
-                # like the MSRA codebases when bn_frozen is true
-                "bn_frozen": True,
+                # norm layer: 'frozenbn' (reference behavior, for pretrained
+                # stats), 'batchnorm', or 'groupnorm' (from-scratch default)
+                "norm": "groupnorm",
                 # compute dtype policy: 'bfloat16' | 'float32'
                 "dtype": "bfloat16",
                 # use the Pallas warp kernel (else pure-XLA gather oracle)
@@ -90,6 +90,9 @@ def make_defaults() -> Config:
                 # crop for training (H, W); full-res eval
                 "CROP_SIZE": [768, 768],
                 "loss_scale": 1.0,
+                # online hard example mining: keep this fraction of hardest
+                # pixels (0 disables; reference operator_py OHEM heritage)
+                "ohem_fraction": 0.0,
             },
             "TEST": {
                 "BATCH_IMAGES": 1,

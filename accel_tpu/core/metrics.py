@@ -51,19 +51,34 @@ def miou_from_confusion(cm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def softmax_cross_entropy(
-    logits: jnp.ndarray, label: jnp.ndarray, num_classes: int, loss_scale: float = 1.0
+    logits: jnp.ndarray,
+    label: jnp.ndarray,
+    num_classes: int,
+    loss_scale: float = 1.0,
+    ohem_fraction: float | None = None,
 ) -> jnp.ndarray:
     """Per-pixel CE with ignore label 255, mean over valid pixels.
 
     ``logits``: (..., num_classes) float; ``label``: (...) int.
     Matches the reference's ``SoftmaxOutput(use_ignore=True, ignore_label=255,
     normalization='valid')`` semantics.
+
+    ``ohem_fraction``: online hard example mining — keep only the hardest
+    fraction of valid pixels (the reference's operator_py OHEM heritage,
+    SURVEY.md §2, recast for segmentation). Implemented with a static-size
+    top-k over the flattened loss map (jit-friendly).
     """
     valid = (label != IGNORE_LABEL) & (label < num_classes)
     l = jnp.where(valid, label, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, l[..., None], axis=-1)[..., 0]
     nll = jnp.where(valid, nll, 0.0)
+    if ohem_fraction is not None and 0.0 < ohem_fraction < 1.0:
+        flat = nll.reshape(-1)
+        k = max(int(flat.shape[0] * ohem_fraction), 1)
+        top, _ = jax.lax.top_k(flat, k)
+        n_kept = jnp.minimum(valid.sum(), k)
+        return loss_scale * top.sum() / jnp.maximum(n_kept, 1)
     return loss_scale * nll.sum() / jnp.maximum(valid.sum(), 1)
 
 

@@ -34,12 +34,33 @@ def pair_loss(model, variables, batch, num_classes: int, loss_scale: float = 1.0
     bilinear upsample (SURVEY.md §3.3 step 7); downsampling labels instead
     changes the objective, so we upsample logits.
     """
-    logits = model.apply(
-        variables, batch["data"], batch["data_ref"], batch["eq_flag"], train=True
-    )
+    loss, _ = pair_loss_and_stats(model, variables, batch, num_classes, loss_scale)
+    return loss
+
+
+def pair_loss_and_stats(
+    model, variables, batch, num_classes: int, loss_scale: float = 1.0,
+    mutable_stats: bool = False, ohem_fraction: float | None = None,
+):
+    """pair_loss variant returning (loss, new_batch_stats-or-None); set
+    ``mutable_stats`` when the model uses running-stat BatchNorm."""
+    if mutable_stats:
+        logits, new_vars = model.apply(
+            variables, batch["data"], batch["data_ref"], batch["eq_flag"],
+            train=True, mutable=["batch_stats"],
+        )
+        new_stats = new_vars.get("batch_stats")
+    else:
+        logits = model.apply(
+            variables, batch["data"], batch["data_ref"], batch["eq_flag"], train=True
+        )
+        new_stats = None
     label = batch["label"]
     logits_full = resize_bilinear(logits, label.shape[1:3])
-    return softmax_cross_entropy(logits_full, label, num_classes, loss_scale)
+    loss = softmax_cross_entropy(
+        logits_full, label, num_classes, loss_scale, ohem_fraction
+    )
+    return loss, new_stats
 
 
 # ---------------------------------------------------------------------------

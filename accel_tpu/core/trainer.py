@@ -62,23 +62,39 @@ def init_train_state(model, variables, tx) -> TrainState:
     )
 
 
-def make_train_step(model, tx, num_classes: int, loss_scale: float = 1.0, mesh=None):
+def make_train_step(
+    model, tx, num_classes: int, loss_scale: float = 1.0, mesh=None,
+    mutable_stats: bool | None = None, ohem_fraction: float | None = None,
+):
     """Build the jitted train step. With a mesh, batch is data-sharded and
-    state replicated; without, plain jit (single device)."""
+    state replicated; without, plain jit (single device). ``mutable_stats``
+    threads BatchNorm running stats through the step (auto-detected from
+    ``model.norm`` when None)."""
+    from accel_tpu.core.pipeline import pair_loss_and_stats
+
+    if mutable_stats is None:
+        mutable_stats = getattr(model, "norm", "frozenbn") == "batchnorm"
 
     def step_fn(state: TrainState, batch):
         def loss_fn(params):
             variables = dict(state.variables)
             variables["params"] = params
-            return pair_loss(model, variables, batch, num_classes, loss_scale)
+            return pair_loss_and_stats(
+                model, variables, batch, num_classes, loss_scale, mutable_stats,
+                ohem_fraction,
+            )
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.variables["params"])
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.variables["params"]
+        )
         updates, opt_state = tx.update(
             grads, state.opt_state, state.variables["params"]
         )
         params = optax.apply_updates(state.variables["params"], updates)
         variables = dict(state.variables)
         variables["params"] = params
+        if new_stats is not None:
+            variables["batch_stats"] = new_stats
         new_state = TrainState(
             step=state.step + 1, variables=variables, opt_state=opt_state
         )

@@ -53,7 +53,7 @@ class AccelNet(nn.Module):
     head_dilation: int = 6
     flow_input_downscale: int = 2
     use_scale_field: bool = True
-    bn_frozen: bool = True
+    norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
     use_pallas_warp: bool = True
     warp_max_disp: int = 8
@@ -71,7 +71,7 @@ class AccelNet(nn.Module):
             output_stride=self.feat_stride,
             head_channels=self.head_channels,
             head_dilation=self.head_dilation,
-            bn_frozen=self.bn_frozen,
+            norm=self.norm,
             dtype=self.dtype,
             name="ref_net",
         )
@@ -82,7 +82,7 @@ class AccelNet(nn.Module):
                 output_stride=self.feat_stride,
                 head_channels=self.head_channels,
                 head_dilation=self.head_dilation,
-                bn_frozen=self.bn_frozen,
+                norm=self.norm,
                 dtype=self.dtype,
                 name="update_net",
             )
@@ -194,7 +194,7 @@ def build_model(cfg) -> AccelNet:
         head_dilation=int(net.head_dilation),
         flow_input_downscale=int(net.flow_input_downscale),
         use_scale_field=bool(net.use_scale_field),
-        bn_frozen=bool(net.bn_frozen),
+        norm=str(net.norm),
         dtype=dtype,
         use_pallas_warp=bool(net.use_pallas_warp),
         warp_max_disp=int(net.warp_max_disp),

@@ -57,14 +57,14 @@ class DeepLab(nn.Module):
     output_stride: int = 16
     head_channels: int = 1024
     head_dilation: int = 6
-    bn_frozen: bool = True
+    norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
 
     def setup(self):
         self.backbone = DilatedResNet(
             depth=self.depth,
             output_stride=self.output_stride,
-            bn_frozen=self.bn_frozen,
+            norm=self.norm,
             dtype=self.dtype,
         )
         self.head = DeepLabHead(

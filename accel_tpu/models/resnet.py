@@ -48,25 +48,35 @@ class FrozenBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
-def make_norm(bn_frozen: bool, dtype, train: bool):
-    if bn_frozen:
+def make_norm(norm: str, dtype, train: bool):
+    """norm: 'frozenbn' (reference behavior with pretrained stats),
+    'batchnorm' (mutable running stats), or 'groupnorm' (batch-independent —
+    the TPU-friendly from-scratch default: no cross-replica stat sync, no
+    mutable state threading)."""
+    if norm == "frozenbn":
         return lambda name=None: FrozenBatchNorm(dtype=dtype, name=name)
-    return lambda name=None: nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype,
-        name=name,
-    )
+    if norm == "batchnorm":
+        return lambda name=None: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dtype, name=name,
+        )
+    if norm == "groupnorm":
+        return lambda name=None: nn.GroupNorm(
+            num_groups=None, group_size=16, epsilon=1e-5, dtype=dtype, name=name
+        )
+    raise ValueError(f"unknown norm {norm}")
 
 
 class BasicBlock(nn.Module):
     width: int
     stride: int = 1
     dilation: int = 1
-    bn_frozen: bool = True
+    norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = make_norm(self.bn_frozen, self.dtype, train)
+        norm = make_norm(self.norm, self.dtype, train)
         residual = x
         y = nn.Conv(
             self.width, (3, 3), strides=(self.stride, self.stride),
@@ -96,12 +106,12 @@ class Bottleneck(nn.Module):
     width: int  # inner width; output is 4*width
     stride: int = 1
     dilation: int = 1
-    bn_frozen: bool = True
+    norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = make_norm(self.bn_frozen, self.dtype, train)
+        norm = make_norm(self.norm, self.dtype, train)
         out_ch = self.width * 4
         residual = x
         y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
@@ -134,14 +144,14 @@ class DilatedResNet(nn.Module):
 
     depth: int = 101
     output_stride: int = 16
-    bn_frozen: bool = True
+    norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_kind, plan = STAGE_PLANS[self.depth]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
-        norm = make_norm(self.bn_frozen, self.dtype, train)
+        norm = make_norm(self.norm, self.dtype, train)
 
         # stage strides/dilations per output stride
         if self.output_stride == 32:
@@ -170,7 +180,7 @@ class DilatedResNet(nn.Module):
                     stride=s if bi == 0 else 1,
                     # DeepLab "multi-grid"-free recipe: uniform dilation per stage
                     dilation=d,
-                    bn_frozen=self.bn_frozen,
+                    norm=self.norm,
                     dtype=self.dtype,
                     name=f"layer{si + 1}_block{bi}",
                 )(x, train=train)

@@ -88,8 +88,10 @@ def main():
             logger.info(f"resumed epoch {le}")
 
     state = jax.device_put(state, replicated(mesh))
+    ohem = float(cfg.TRAIN.ohem_fraction) or None
     step = make_train_step(
-        model, tx, int(cfg.dataset.NUM_CLASSES), float(cfg.TRAIN.loss_scale), mesh
+        model, tx, int(cfg.dataset.NUM_CLASSES), float(cfg.TRAIN.loss_scale), mesh,
+        ohem_fraction=ohem,
     )
     data_iter = PrefetchingIter(
         iter(loader), depth=int(cfg.tpu.prefetch_depth),

@@ -22,9 +22,13 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import struct
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 # ---------------------------------------------------------------------------
 # MXNet .params reader (NDArray list save format)
