@@ -34,9 +34,14 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_optimizer(cfg, epoch_size: int):
+def make_optimizer(cfg, epoch_size: int, fixed_prefixes=None):
     """SGD + momentum + weight decay + warmup-multistep schedule (reference
-    train_end2end.py optimizer_params)."""
+    train_end2end.py optimizer_params).
+
+    ``fixed_prefixes``: parameter-path substrings to freeze (the reference's
+    ``network.FIXED_PARAMS`` — e.g. early ResNet stages when fine-tuning
+    from pretrained weights). Matching leaves get zero updates.
+    """
     tr = cfg.TRAIN
     steps = lr_steps_from_epochs(tr.lr_step, epoch_size, tr.begin_epoch)
     schedule = warmup_multifactor_schedule(
@@ -51,6 +56,20 @@ def make_optimizer(cfg, epoch_size: int):
         optax.add_decayed_weights(float(tr.wd)),
         optax.sgd(learning_rate=schedule, momentum=float(tr.momentum)),
     )
+    fixed = fixed_prefixes
+    if fixed is None:
+        fixed = list(cfg.network.FIXED_PARAMS or []) if "network" in cfg else []
+    if fixed:
+
+        def frozen_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: any(
+                    p in jax.tree_util.keystr(path) for p in fixed
+                ),
+                params,
+            )
+
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
     return tx, schedule
 
 

@@ -12,7 +12,20 @@ from __future__ import annotations
 
 import numpy as np
 
-from accel_tpu.data.image import map_labels, resize_to, transform
+from accel_tpu.data.image import map_labels, resize, resize_to, transform
+
+
+def _apply_scales(im: np.ndarray, scales, interp: str = "bilinear"):
+    """Short-side resize per the reference's SCALES config ([target, max]).
+    Identity when the image already satisfies the target."""
+    if not scales:
+        return im
+    target, max_size = int(scales[0][0]), int(scales[0][1])
+    h, w = im.shape[:2]
+    if min(h, w) == target and max(h, w) <= max_size:
+        return im
+    out, _ = resize(im, target, max_size, interp)
+    return out
 
 
 def _pad_to_multiple(im: np.ndarray, mult: int, value: float = 0.0) -> np.ndarray:
@@ -49,6 +62,7 @@ class TrainPairLoader:
         self.max_off = int(cfg.TRAIN.MAX_OFFSET)
         self.means = np.asarray(cfg.network.PIXEL_MEANS, np.float32)
         self.stds = np.asarray(cfg.network.PIXEL_STDS, np.float32)
+        self.scales = cfg.get("SCALES")
         self.entries = [e for e in imdb.segdb if e["annotation"]]
         self.has_seq = getattr(imdb, "has_sequences", lambda: False)()
 
@@ -57,8 +71,10 @@ class TrainPairLoader:
         return max(len(self.entries) // self.batch_size, 1)
 
     def _load_pair(self, entry):
-        cur = self.imdb.load_image(entry["image"])
+        cur = _apply_scales(self.imdb.load_image(entry["image"]), self.scales)
         label = self.imdb.load_annotation(entry)
+        if label.shape[:2] != cur.shape[:2]:
+            label = resize_to(label, *cur.shape[:2], interp="nearest")
         off = int(self.rng.integers(self.min_off, self.max_off + 1))
         if off == 0 or not self.has_seq:
             return cur, cur.copy(), 1.0, label
@@ -66,7 +82,7 @@ class TrainPairLoader:
 
         ref_path = self.imdb.sequence_frame(entry, ANNOTATED_FRAME + off)
         try:
-            ref = self.imdb.load_image(ref_path)
+            ref = _apply_scales(self.imdb.load_image(ref_path), self.scales)
         except FileNotFoundError:
             return cur, cur.copy(), 1.0, label
         return cur, ref, 0.0, label
@@ -132,6 +148,7 @@ class TestClipLoader:
         self.batch_clips = batch_clips
         self.means = np.asarray(cfg.network.PIXEL_MEANS, np.float32)
         self.stds = np.asarray(cfg.network.PIXEL_STDS, np.float32)
+        self.scales = cfg.get("SCALES")
         entries = [e for e in imdb.segdb if e["annotation"]]
         self.entries = entries[:max_items] if max_items else entries
         self.has_seq = getattr(imdb, "has_sequences", lambda: False)()
@@ -156,10 +173,14 @@ class TestClipLoader:
                     im = self.imdb.load_image(entry["image"])
             else:
                 im = self.imdb.load_image(entry["image"])
+            im = _apply_scales(im, self.scales)
             frames.append(transform(_pad_to_multiple(im, 128), self.means, self.stds)[0])
         clip = np.stack(frames, 0)
         label_full = np.full((k, *clip.shape[1:3]), 255, np.int32)
         ann = self.imdb.load_annotation(entry)
+        if ann.shape[:2] != im.shape[:2]:
+            # eval at SCALES resolution: nearest-resize GT to match
+            ann = resize_to(ann, *im.shape[:2], interp="nearest")
         label_full[ann_pos, : ann.shape[0], : ann.shape[1]] = ann
         return clip, label_full, ann_pos
 

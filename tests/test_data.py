@@ -82,6 +82,7 @@ def test_train_pair_loader(cityscapes_fixture):
     root, data = cityscapes_fixture
     ds = Cityscape("leftImg8bit_val", root, data)
     cfg = default_config()
+    cfg.SCALES = [[128, 256]]
     cfg.TRAIN.BATCH_IMAGES = 2
     cfg.TRAIN.CROP_SIZE = [128, 128]
     loader = TrainPairLoader(ds, cfg, seed=0)
@@ -100,6 +101,7 @@ def test_test_clip_loader(cityscapes_fixture):
     root, data = cityscapes_fixture
     ds = Cityscape("leftImg8bit_val", root, data)
     cfg = default_config()
+    cfg.SCALES = [[128, 256]]
     cfg.TEST.KEY_FRAME_INTERVAL = 5
     loader = TestClipLoader(ds, cfg, batch_clips=2)
     batches = list(loader)
