@@ -58,6 +58,12 @@ def make_defaults() -> Config:
                 # static max displacement (feature-res pixels) for the Pallas
                 # roll-accumulate warp kernel
                 "warp_max_disp": 16,
+                # fast-variant knobs (0 = inherit from feat_stride /
+                # head_channels): coarser update-branch stride / slimmer head
+                "update_feat_stride": 0,
+                "update_head_channels": 0,
+                # FlowNet channel multiplier (DFF ships slimmed FlowNets)
+                "flow_width_mult": 1.0,
             },
             "dataset": {
                 "dataset": "CityScape",

@@ -75,10 +75,17 @@ def _group_step(model, variables, frames_g, propagate: str):
     by flow-warp. ``propagate``: 'incremental' (anchor = previous frame,
     Accel) or 'direct' (anchor = keyframe, DFF).
     """
-    k = frames_g.shape[1]
+    B, k = frames_g.shape[:2]
     key_frame = frames_g[:, 0]
     prop = model.apply(variables, key_frame, method="ref_propagated")
     ref_scores = model.apply(variables, prop, method="ref_scores_from_propagated")
+
+    # downscale every frame for FlowNet once (each frame is both a 'cur' and
+    # the next step's 'anchor')
+    if k > 1 and model.family in ("dff", "accel"):
+        flat = frames_g.reshape(B * k, *frames_g.shape[2:])
+        small = model.apply(variables, flat, method="downscale_for_flow")
+        small = small.reshape(B, k, *small.shape[1:])
 
     def frame_output(ref_s, cur_frame):
         if model.family == "accel":
@@ -87,18 +94,20 @@ def _group_step(model, variables, frames_g, propagate: str):
         return ref_s
 
     outs = [frame_output(ref_scores, key_frame)]
-    anchor = key_frame
+    anchor_i = 0
     carry = prop
     for i in range(1, k):
         cur = frames_g[:, i]
-        flow, scale = model.apply(variables, cur, anchor, method="flow")
+        flow, scale = model.apply(
+            variables, small[:, i], small[:, anchor_i], method="flow_pair"
+        )
         warped = model.apply(variables, carry, flow, scale, method="warp")
         ref_s = model.apply(variables, warped, method="ref_scores_from_propagated")
         outs.append(frame_output(ref_s, cur))
         if propagate == "incremental":
             carry = warped
-            anchor = cur
-        # 'direct': carry stays the keyframe tensor, anchor stays key_frame
+            anchor_i = i
+        # 'direct': carry stays the keyframe tensor, anchor stays the keyframe
     return jnp.stack(outs, axis=1)
 
 

@@ -57,6 +57,13 @@ class AccelNet(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas_warp: bool = True
     warp_max_disp: int = 8
+    # fast-variant knobs (0 = inherit): the update branch may run at a
+    # coarser output stride and/or a narrower fc6 head than the reference
+    # branch — at 1024x2048 the dilated layer4 + 1024-wide fc6 of even a
+    # ResNet-18 otherwise costs nearly a full ResNet-101 non-key frame
+    update_feat_stride: int = 0
+    update_head_channels: int = 0
+    flow_width_mult: float = 1.0
 
     @property
     def warp_tensor(self) -> str:
@@ -79,8 +86,8 @@ class AccelNet(nn.Module):
             self.update_net = DeepLab(
                 depth=self.update_depth,
                 num_classes=self.num_classes,
-                output_stride=self.feat_stride,
-                head_channels=self.head_channels,
+                output_stride=self.update_feat_stride or self.feat_stride,
+                head_channels=self.update_head_channels or self.head_channels,
                 head_dilation=self.head_dilation,
                 norm=self.norm,
                 dtype=self.dtype,
@@ -98,6 +105,7 @@ class AccelNet(nn.Module):
             self.flownet = FlowNetS(
                 scale_channels=scale_ch,
                 use_scale_field=self.use_scale_field,
+                width_mult=self.flow_width_mult,
                 dtype=self.dtype,
                 name="flownet",
             )
@@ -117,7 +125,32 @@ class AccelNet(nn.Module):
         return prop
 
     def update_scores(self, image, train: bool = False):
-        return self.update_net(image, train=train)
+        s = self.update_net(image, train=train)
+        us = self.update_feat_stride or self.feat_stride
+        if us != self.feat_stride:
+            feat_hw = (image.shape[1] // self.feat_stride, image.shape[2] // self.feat_stride)
+            s = resize_bilinear(s, feat_hw)
+        return s
+
+    def downscale_for_flow(self, frames):
+        """(..., H, W, 3) full-res -> FlowNet-input resolution."""
+        ds = self.flow_input_downscale
+        h, w = frames.shape[-3] // ds, frames.shape[-2] // ds
+        return resize_bilinear(frames, (h, w))
+
+    def flow_pair(self, cur_small, anchor_small, train: bool = False):
+        """Flow from already-downscaled frames (lets callers downscale each
+        frame once instead of twice — as cur and as the next anchor)."""
+        ds = self.flow_input_downscale
+        pair = jnp.concatenate([cur_small, anchor_small], axis=-1)
+        flow_small, scale_small = self.flownet(pair)
+        feat_hw = (
+            cur_small.shape[1] * ds // self.feat_stride,
+            cur_small.shape[2] * ds // self.feat_stride,
+        )
+        flow = flow_to_feature_res(flow_small, feat_hw, ds / self.feat_stride)
+        scale = resize_bilinear(scale_small, feat_hw)
+        return flow, scale
 
     def flow(self, cur, anchor, train: bool = False):
         """Flow mapping cur-frame pixels to their anchor-frame source, at
@@ -125,16 +158,9 @@ class AccelNet(nn.Module):
 
         ``cur``/``anchor``: (N,H,W,3) normalized full-res frames.
         """
-        ds = self.flow_input_downscale
-        h, w = cur.shape[1] // ds, cur.shape[2] // ds
-        pair = jnp.concatenate(
-            [resize_bilinear(cur, (h, w)), resize_bilinear(anchor, (h, w))], axis=-1
+        return self.flow_pair(
+            self.downscale_for_flow(cur), self.downscale_for_flow(anchor), train
         )
-        flow_small, scale_small = self.flownet(pair)
-        feat_hw = (cur.shape[1] // self.feat_stride, cur.shape[2] // self.feat_stride)
-        flow = flow_to_feature_res(flow_small, feat_hw, ds / self.feat_stride)
-        scale = resize_bilinear(scale_small, feat_hw)
-        return flow, scale
 
     def warp(self, prop, flow, scale):
         warped = bilinear_warp(
@@ -198,4 +224,7 @@ def build_model(cfg) -> AccelNet:
         dtype=dtype,
         use_pallas_warp=bool(net.use_pallas_warp),
         warp_max_disp=int(net.warp_max_disp),
+        update_feat_stride=int(net.get("update_feat_stride", 0) or 0),
+        update_head_channels=int(net.get("update_head_channels", 0) or 0),
+        flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
     )

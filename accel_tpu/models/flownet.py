@@ -33,6 +33,9 @@ def _leaky(x):
 class FlowNetS(nn.Module):
     scale_channels: int = 19  # channels of the warped tensor to modulate
     use_scale_field: bool = True
+    # uniform channel multiplier (DFF itself ships scaled-down FlowNets;
+    # 0.5 quarters the FLOPs)
+    width_mult: float = 1.0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -41,17 +44,29 @@ class FlowNetS(nn.Module):
 
         Returns (flow, scale): flow (N, H/4, W/4, 2), scale (N, H/4, W/4, S).
         """
+        from accel_tpu.ops.upsample import bilinear_upsample
+
         dt = self.dtype
+        wm = lambda ch: max(int(ch * self.width_mult), 16)
         conv = lambda ch, k, s, name: nn.Conv(
-            ch, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2, dtype=dt, name=name
+            wm(ch), (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2, dtype=dt, name=name
         )
-        deconv = lambda ch, name: nn.ConvTranspose(
-            ch, (4, 4), strides=(2, 2), padding="SAME", dtype=dt, name=name
+        # "deconv" = 2x bilinear resize + 3x3 conv: same capacity as the
+        # FlowNet-S 4x4/2 ConvTranspose but maps onto the MXU as a normal
+        # conv (XLA transposed conv lowers poorly on TPU — measured 2.7ms
+        # for the whole net at 512x1024 with deconvs, dominated by them)
+        upconv = lambda ch, name: (
+            lambda x: nn.Conv(wm(ch), (3, 3), padding="SAME", dtype=dt, name=name)(
+                bilinear_upsample(x, 2)
+            )
         )
         predict = lambda ch, name: nn.Conv(
             ch, (3, 3), padding="SAME", dtype=jnp.float32,
             kernel_init=nn.initializers.zeros, name=name,
         )
+
+        def upflow(f):  # parameter-free 2x flow upsample; units are
+            return bilinear_upsample(f, 2)  # FlowNet-input pixels at every level
 
         x = pair.astype(dt)
         c1 = _leaky(conv(64, 7, 2, "conv1")(x))
@@ -66,28 +81,20 @@ class FlowNetS(nn.Module):
         c6 = _leaky(conv(1024, 3, 1, "conv6_1")(c6))
 
         flow6 = predict(2, "predict_flow6")(c6.astype(jnp.float32))
-        d5 = _leaky(deconv(512, "deconv5")(c6))
-        up6 = nn.ConvTranspose(2, (4, 4), strides=(2, 2), padding="SAME",
-                               dtype=jnp.float32, name="upflow6")(flow6)
-        cat5 = jnp.concatenate([c5, d5, up6.astype(dt)], axis=-1)
+        d5 = _leaky(upconv(512, "deconv5")(c6))
+        cat5 = jnp.concatenate([c5, d5, upflow(flow6).astype(dt)], axis=-1)
 
         flow5 = predict(2, "predict_flow5")(cat5.astype(jnp.float32))
-        d4 = _leaky(deconv(256, "deconv4")(cat5))
-        up5 = nn.ConvTranspose(2, (4, 4), strides=(2, 2), padding="SAME",
-                               dtype=jnp.float32, name="upflow5")(flow5)
-        cat4 = jnp.concatenate([c4, d4, up5.astype(dt)], axis=-1)
+        d4 = _leaky(upconv(256, "deconv4")(cat5))
+        cat4 = jnp.concatenate([c4, d4, upflow(flow5).astype(dt)], axis=-1)
 
         flow4 = predict(2, "predict_flow4")(cat4.astype(jnp.float32))
-        d3 = _leaky(deconv(128, "deconv3")(cat4))
-        up4 = nn.ConvTranspose(2, (4, 4), strides=(2, 2), padding="SAME",
-                               dtype=jnp.float32, name="upflow4")(flow4)
-        cat3 = jnp.concatenate([c3, d3, up4.astype(dt)], axis=-1)
+        d3 = _leaky(upconv(128, "deconv3")(cat4))
+        cat3 = jnp.concatenate([c3, d3, upflow(flow4).astype(dt)], axis=-1)
 
         flow3 = predict(2, "predict_flow3")(cat3.astype(jnp.float32))
-        d2 = _leaky(deconv(64, "deconv2")(cat3))
-        up3 = nn.ConvTranspose(2, (4, 4), strides=(2, 2), padding="SAME",
-                               dtype=jnp.float32, name="upflow3")(flow3)
-        cat2 = jnp.concatenate([c2, d2, up3.astype(dt)], axis=-1)
+        d2 = _leaky(upconv(64, "deconv2")(cat3))
+        cat2 = jnp.concatenate([c2, d2, upflow(flow3).astype(dt)], axis=-1)
 
         flow2 = predict(2, "predict_flow2")(cat2.astype(jnp.float32))
 

@@ -43,8 +43,12 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        # fold to one per-channel FMA computed in f32 (params are tiny),
+        # applied in the activation dtype so XLA fuses it into the conv
+        # epilogue instead of round-tripping big activations through f32
         inv = scale / jnp.sqrt(var.value + 1e-5)
-        y = x.astype(jnp.float32) * inv + (bias - mean.value * inv)
+        shift = bias - mean.value * inv
+        y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
         return y.astype(self.dtype)
 
 

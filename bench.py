@@ -126,17 +126,31 @@ def main():
     base_fps = 1.0 / t_base
 
     # ---- subject: Accel-18 clip inference @ interval 5 -------------------
+    def measure_clip(model, B):
+        variables = _init_variables(model, H, W)
+        clip = jnp.asarray(rng.standard_normal((B, k, H, W, 3)), jnp.float32)
+
+        def run_clip(variables, clip):
+            return clip_predictions(model, variables, clip, k, "incremental")
+
+        t = _slope_time(run_clip, variables, clip, verbose=args.verbose)
+        return (B * k) / t
+
     model = _build("accel", 101, 18, use_pallas)
-    variables = _init_variables(model, H, W)
-    clip = jnp.asarray(
-        rng.standard_normal((args.clip_batch, k, H, W, 3)), jnp.float32
+    fps = measure_clip(model, args.clip_batch)
+
+    # TPU-optimized variant: update branch at stride 32 / 256-wide head,
+    # quarter-res half-width FlowNet (accuracy unvalidated; extra metric)
+    from accel_tpu.models.accel import AccelNet
+
+    fast_model = AccelNet(
+        family="accel", ref_depth=101, update_depth=18, num_classes=19,
+        feat_stride=16, head_channels=1024, head_dilation=6,
+        dtype=jnp.bfloat16, use_pallas_warp=use_pallas, warp_max_disp=8,
+        update_feat_stride=32, update_head_channels=256,
+        flow_input_downscale=4, flow_width_mult=0.5,
     )
-
-    def run_clip(variables, clip):
-        return clip_predictions(model, variables, clip, k, "incremental")
-
-    t_clip = _slope_time(run_clip, variables, clip, verbose=args.verbose)
-    fps = (args.clip_batch * k) / t_clip
+    fast_fps = measure_clip(fast_model, args.clip_batch)
 
     print(
         json.dumps(
@@ -146,6 +160,8 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / base_fps, 3),
                 "baseline_deeplab101_fps": round(base_fps, 3),
+                "accel18_fast_fps": round(fast_fps, 3),
+                "accel18_fast_vs_baseline": round(fast_fps / base_fps, 3),
                 "backend": jax.default_backend(),
                 "pallas_warp": use_pallas,
             }
