@@ -142,6 +142,7 @@ def fit(
     frequent: int = 20,
     epoch_end_callback: Callable[[int, TrainState], None] | None = None,
     begin_epoch: int = 0,
+    metrics_writer=None,
 ):
     """Reference-shaped fit loop (MutableModule.fit): per-batch step with a
     Speedometer-style throughput log, per-epoch callback for checkpointing."""
@@ -162,6 +163,11 @@ def fit(
                     f"Speed: {n_since * bsz / dt:.2f} samples/sec\t"
                     f"FCNLogLoss={loss:.5f}"
                 )
+                if metrics_writer is not None:
+                    metrics_writer.write(
+                        int(state.step), loss=loss,
+                        samples_per_sec=n_since * bsz / dt, epoch=epoch,
+                    )
                 t0 = time.time()
                 n_since = 0
         if epoch_end_callback is not None:

@@ -47,6 +47,7 @@ def main():
     from accel_tpu.models.accel import build_model
     from accel_tpu.parallel.mesh import mesh_from_cfg, replicated, shard_batch
     from accel_tpu.utils.logger import create_logger
+    from accel_tpu.utils.metrics_writer import MetricsWriter
 
     cfg = load_config(args.cfg)
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
@@ -98,12 +99,14 @@ def main():
         transform=lambda b: shard_batch(mesh, b),
     )
 
+    metrics_writer = MetricsWriter(os.path.join(out_dir, "metrics.jsonl"))
     state = fit(
         model, state, step, data_iter,
         epochs=int(cfg.TRAIN.end_epoch), epoch_size=epoch_size,
         logger=logger, frequent=args.frequent or int(cfg.default.frequent),
         epoch_end_callback=lambda e, s: save_checkpoint(prefix, e, jax.device_get(s)),
         begin_epoch=begin_epoch,
+        metrics_writer=metrics_writer,
     )
     logger.info("training done")
 
