@@ -36,6 +36,15 @@ def make_mesh(data: int = -1, spatial: int = 1, devices=None) -> Mesh:
 
 
 def mesh_from_cfg(cfg, devices=None) -> Mesh:
+    """Mesh from config. The reference's ``gpus: '0,1,2,3'`` field selects
+    devices by index (SURVEY.md §2b DP row); ``tpu.mesh`` shapes the axes."""
+    if devices is None:
+        all_devices = jax.devices()
+        gpus = str(cfg.get("gpus", "") or "")
+        if gpus:
+            ids = [int(x) for x in gpus.split(",") if x.strip() != ""]
+            if all(i < len(all_devices) for i in ids) and len(ids) > 1:
+                devices = [all_devices[i] for i in ids]
     m = cfg.tpu.mesh
     return make_mesh(int(m.data), int(m.spatial), devices)
 

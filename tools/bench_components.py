@@ -20,11 +20,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_time(step, base, n_lo=1, n_hi=8):
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def run_n(base, scales, n):
+def slope_time(step, base, variables=None, n_lo=1, n_hi=8):
+    """step(variables, scaled_base) -> array. ``variables`` passed as a jit
+    argument (embedding a 45M-param tree as compile-time constants makes
+    compiles take ~10 minutes through the tunnel)."""
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_n(variables, base, scales, n):
         def body(acc, s):
-            out = step(jax.tree.map(lambda b: b * s, base))
+            out = step(variables, jax.tree.map(lambda b: b * s, base))
             return acc + jnp.sum(out.astype(jnp.float32)), ()
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), scales, length=n)
@@ -35,7 +39,7 @@ def slope_time(step, base, n_lo=1, n_hi=8):
     def timed(n):
         scales = jnp.asarray(rng.uniform(0.9, 1.1, (n,)), jnp.float32)
         t0 = time.perf_counter()
-        float(run_n(base, scales, n))
+        float(run_n(variables, base, scales, n))
         return time.perf_counter() - t0
 
     timed(n_lo)
@@ -85,38 +89,37 @@ def main():
 
     results = {}
     results["ref_branch(R101+head)"] = slope_time(
-        lambda b: model.apply(variables, b, method="ref_propagated"), frame
+        lambda v, b: model.apply(v, b, method="ref_propagated"), frame, variables
     )
     results[f"update_branch(R{args.update_depth}+head)"] = slope_time(
-        lambda b: model.apply(variables, b, method="update_scores"), frame
+        lambda v, b: model.apply(v, b, method="update_scores"), frame, variables
     )
     results["flownet(half-res pair)"] = slope_time(
-        lambda b: model.apply(variables, b, b * 0.5, method="flow")[0], frame
+        lambda v, b: model.apply(v, b, b * 0.5, method="flow")[0], frame, variables
     )
     if on_tpu:
         results["warp_pallas zero-flow"] = slope_time(
-            lambda b: warp_pallas_fwd(b, zero_flow, 8), score
+            lambda v, b: warp_pallas_fwd(b, zero_flow, 8), score
         )
         results["warp_pallas smooth-flow"] = slope_time(
-            lambda b: warp_pallas_fwd(b, smooth_flow, 8), score
+            lambda v, b: warp_pallas_fwd(b, smooth_flow, 8), score
         )
         results["warp_pallas random-flow"] = slope_time(
-            lambda b: warp_pallas_fwd(b, rand_flow, 8), score
+            lambda v, b: warp_pallas_fwd(b, rand_flow, 8), score
         )
     results["warp_xla gather"] = slope_time(
-        lambda b: bilinear_warp_xla(b, rand_flow), score
+        lambda v, b: bilinear_warp_xla(b, rand_flow), score
     )
     results["fusion+upsample+argmax"] = slope_time(
-        lambda b: jnp.argmax(
-            resize_bilinear(
-                model.apply(variables, b, b * 0.5, method="fuse"), (H, W)
-            ),
+        lambda v, b: jnp.argmax(
+            resize_bilinear(model.apply(v, b, b * 0.5, method="fuse"), (H, W)),
             -1,
         ).astype(jnp.uint8),
         score,
+        variables,
     )
     results["upsample+argmax only"] = slope_time(
-        lambda b: jnp.argmax(resize_bilinear(b, (H, W)), -1).astype(jnp.uint8), score
+        lambda v, b: jnp.argmax(resize_bilinear(b, (H, W)), -1).astype(jnp.uint8), score
     )
 
     print(f"\n== component times @ {H}x{W} (ms) ==")
