@@ -72,6 +72,60 @@ class Predictor:
         return [out]
 
 
+def make_key_cur_predictors(model, variables, full_res_pred: bool = True):
+    """Build the reference's two-executor inference pair (SURVEY.md §3.1:
+    ``get_key_test_symbol`` / ``get_cur_test_symbol``) as Predictors.
+
+    key predictor:  data -> {'prop': cached tensor, 'pred': argmax map}
+    cur predictor:  (data, anchor_small, prop) -> same; ``anchor_small`` is
+    the FlowNet-downscaled previous/key frame (the caller carries it, like
+    the reference's feat cache re-fed as input).
+    """
+    import jax.numpy as jnp
+
+    from accel_tpu.ops.upsample import resize_bilinear
+
+    def _pred_from_scores(scores, hw):
+        if full_res_pred:
+            scores = resize_bilinear(scores, hw)
+        return jnp.argmax(scores, -1).astype(jnp.uint8)
+
+    def key_fn(v, image):
+        prop = model.apply(v, image, method="ref_propagated")
+        scores = model.apply(v, prop, method="ref_scores_from_propagated")
+        if model.family == "accel":
+            upd = model.apply(v, image, method="update_scores")
+            scores = model.apply(v, scores, upd, method="fuse")
+        small = model.apply(v, image, method="downscale_for_flow") \
+            if model.family in ("dff", "accel") else image
+        return {
+            "prop": prop,
+            "anchor_small": small,
+            "pred": _pred_from_scores(scores, image.shape[1:3]),
+        }
+
+    def cur_fn(v, image, anchor_small, prop):
+        small = model.apply(v, image, method="downscale_for_flow")
+        flow, scale = model.apply(v, small, anchor_small, method="flow_pair")
+        warped = model.apply(v, prop, flow, scale, method="warp")
+        scores = model.apply(v, warped, method="ref_scores_from_propagated")
+        if model.family == "accel":
+            upd = model.apply(v, image, method="update_scores")
+            scores = model.apply(v, scores, upd, method="fuse")
+        return {
+            "prop": warped,
+            "anchor_small": small,
+            "pred": _pred_from_scores(scores, image.shape[1:3]),
+        }
+
+    key_p = Predictor(key_fn, ("data",), arg_params=variables.get("params"),
+                      aux_params=variables.get("batch_stats"))
+    cur_p = Predictor(cur_fn, ("data", "anchor_small", "prop"),
+                      arg_params=variables.get("params"),
+                      aux_params=variables.get("batch_stats"))
+    return key_p, cur_p
+
+
 def pred_eval(
     key_predictor: Predictor,
     cur_predictor: Predictor,
@@ -85,16 +139,19 @@ def pred_eval(
 
     ``test_iter`` yields dicts per frame:
       {'data': (1,H,W,3) normalized frame, 'label': (1,H,W) or None,
-       'is_key': bool, 'anchor': previous/key frame per propagate mode}
-    The key predictor must output {'prop': ..., 'pred': argmax map};
-    the cur predictor takes (data, anchor, prop) and outputs the same.
+       'is_key': bool}
+    Predictors as built by :func:`make_key_cur_predictors`: the key
+    predictor outputs {'prop', 'anchor_small', 'pred'}; the cur predictor
+    takes (data, anchor_small, prop) and outputs the same — the cached
+    tensors are carried by this loop and re-fed as inputs, exactly the
+    reference's feat_key protocol.
     Returns (mIoU, per-class IoU, timing dict).
     """
     log = logger.info if logger else print
     acc = SegConfusionAccumulator(num_classes)
     t_data = t_net = 0.0
     n_frames = 0
-    prop = None
+    prop = anchor_small = None
     t0 = time.time()
     for frame in test_iter:
         t_data += time.time() - t0
@@ -103,9 +160,10 @@ def pred_eval(
             out = key_predictor.predict(DataBatch([frame["data"]]))[0]
         else:
             out = cur_predictor.predict(
-                DataBatch([frame["data"], frame["anchor"], prop])
+                DataBatch([frame["data"], anchor_small, prop])
             )[0]
         prop = out["prop"]
+        anchor_small = out.get("anchor_small", anchor_small)
         pred = out["pred"]
         jax.block_until_ready(pred)
         t_net += time.time() - t1

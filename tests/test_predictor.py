@@ -36,48 +36,56 @@ def test_predictor_signature_and_predict(tiny_accel):
 def test_pred_eval_loop(tiny_accel):
     """Key/cur predictor pair over a synthetic 10-frame video, interval 5 —
     the reference tester.py loop shape with the cache fed back as input."""
+    from accel_tpu.core.predictor import make_key_cur_predictors
+
     m, variables = tiny_accel
     H = W = 128
-
-    def key_fn(v, image):
-        prop = m.apply(v, image, method="ref_propagated")
-        upd = m.apply(v, image, method="update_scores")
-        fused = m.apply(v, prop, upd, method="fuse")
-        pred = jnp.argmax(resize_bilinear(fused, (H, W)), -1).astype(jnp.uint8)
-        return {"prop": prop, "pred": pred}
-
-    def cur_fn(v, image, anchor, prop):
-        flow, scale = m.apply(v, image, anchor, method="flow")
-        warped = m.apply(v, prop, flow, scale, method="warp")
-        upd = m.apply(v, image, method="update_scores")
-        fused = m.apply(v, warped, upd, method="fuse")
-        pred = jnp.argmax(resize_bilinear(fused, (H, W)), -1).astype(jnp.uint8)
-        return {"prop": warped, "pred": pred}
-
-    kp = Predictor(key_fn, ("data",), arg_params=variables["params"],
-                   aux_params=variables["batch_stats"])
-    cp = Predictor(cur_fn, ("data", "data_anchor", "feat_cache"),
-                   arg_params=variables["params"],
-                   aux_params=variables["batch_stats"])
+    kp, cp = make_key_cur_predictors(m, variables)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.standard_normal((10, H, W, 3)), jnp.float32) * 0.1
 
     def gen():
-        prev = None
         for i in range(10):
-            f = frames[i : i + 1]
             yield {
-                "data": f,
-                "anchor": prev if prev is not None else f,
+                "data": frames[i : i + 1],
                 "is_key": i % 5 == 0,
                 "label": jnp.zeros((1, H, W), jnp.int32) if i % 5 == 4 else None,
             }
-            prev = f
 
     miou, iou, stats = pred_eval(kp, cp, gen(), 19, 5)
     assert stats["frames"] == 10
     assert 0.0 <= miou <= 1.0
+
+
+def test_pred_eval_matches_clip_scan(tiny_accel):
+    """The per-frame Predictor loop and the fused clip-scan path produce the
+    same predictions (two implementations of the same protocol)."""
+    from accel_tpu.core.pipeline import clip_predictions
+    from accel_tpu.core.predictor import make_key_cur_predictors
+
+    m, variables = tiny_accel
+    H = W = 128
+    rng = np.random.default_rng(3)
+    clip = jnp.asarray(rng.standard_normal((1, 4, H, W, 3)), jnp.float32) * 0.1
+
+    scan_preds = np.asarray(clip_predictions(m, variables, clip, 4, "incremental"))
+
+    kp, cp = make_key_cur_predictors(m, variables)
+    loop_preds = []
+    prop = anchor = None
+    for i in range(4):
+        if i == 0:
+            out = kp.predict(DataBatch([clip[:, 0]]))[0]
+        else:
+            out = cp.predict(DataBatch([clip[:, i], anchor, prop]))[0]
+        prop, anchor = out["prop"], out["anchor_small"]
+        loop_preds.append(np.asarray(out["pred"]))
+    loop_preds = np.stack(loop_preds, 1)
+    # identical protocol -> identical argmax maps (tiny numeric slack may
+    # flip ties, so compare fraction of agreeing pixels)
+    agree = (scan_preds == loop_preds).mean()
+    assert agree > 0.999, f"agreement {agree}"
 
 
 def test_checkpoint_roundtrip(tiny_accel, tmp_path):
