@@ -64,6 +64,10 @@ def make_defaults() -> Config:
                 "update_head_channels": 0,
                 # FlowNet channel multiplier (DFF ships slimmed FlowNets)
                 "flow_width_mult": 1.0,
+                # update branch runs on 1/N-res input (1 = full res, paper)
+                "update_input_downscale": 1,
+                # stem: 's2d' (exact reparam of conv7/2, TPU-fast) | 'conv7'
+                "stem": "s2d",
             },
             "dataset": {
                 "dataset": "CityScape",

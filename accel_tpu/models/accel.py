@@ -63,7 +63,10 @@ class AccelNet(nn.Module):
     # ResNet-18 otherwise costs nearly a full ResNet-101 non-key frame
     update_feat_stride: int = 0
     update_head_channels: int = 0
+    update_input_downscale: int = 1
     flow_width_mult: float = 1.0
+    # stem: 's2d' (exact reparametrization of conv7x7/2, TPU-fast) | 'conv7'
+    stem: str = "s2d"
 
     @property
     def warp_tensor(self) -> str:
@@ -79,6 +82,7 @@ class AccelNet(nn.Module):
             head_channels=self.head_channels,
             head_dilation=self.head_dilation,
             norm=self.norm,
+            stem=self.stem,
             dtype=self.dtype,
             name="ref_net",
         )
@@ -90,6 +94,7 @@ class AccelNet(nn.Module):
                 head_channels=self.update_head_channels or self.head_channels,
                 head_dilation=self.head_dilation,
                 norm=self.norm,
+                stem=self.stem,
                 dtype=self.dtype,
                 name="update_net",
             )
@@ -125,10 +130,12 @@ class AccelNet(nn.Module):
         return prop
 
     def update_scores(self, image, train: bool = False):
+        feat_hw = (image.shape[1] // self.feat_stride, image.shape[2] // self.feat_stride)
+        ds = self.update_input_downscale
+        if ds > 1:
+            image = resize_bilinear(image, (image.shape[1] // ds, image.shape[2] // ds))
         s = self.update_net(image, train=train)
-        us = self.update_feat_stride or self.feat_stride
-        if us != self.feat_stride:
-            feat_hw = (image.shape[1] // self.feat_stride, image.shape[2] // self.feat_stride)
+        if s.shape[1:3] != feat_hw:
             s = resize_bilinear(s, feat_hw)
         return s
 
@@ -226,5 +233,7 @@ def build_model(cfg) -> AccelNet:
         warp_max_disp=int(net.warp_max_disp),
         update_feat_stride=int(net.get("update_feat_stride", 0) or 0),
         update_head_channels=int(net.get("update_head_channels", 0) or 0),
+        update_input_downscale=int(net.get("update_input_downscale", 1) or 1),
         flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
+        stem=str(net.get("stem", "s2d")),
     )

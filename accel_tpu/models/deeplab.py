@@ -58,6 +58,7 @@ class DeepLab(nn.Module):
     head_channels: int = 1024
     head_dilation: int = 6
     norm: str = "frozenbn"
+    stem: str = "s2d"
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -65,6 +66,7 @@ class DeepLab(nn.Module):
             depth=self.depth,
             output_stride=self.output_stride,
             norm=self.norm,
+            stem=self.stem,
             dtype=self.dtype,
         )
         self.head = DeepLabHead(

@@ -140,15 +140,46 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/b, W/b, b*b*C); layout [dy, dx, c] innermost."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // block, w // block, block * block * c)
+
+
+def embed_conv7_as_s2d(w7: jnp.ndarray) -> jnp.ndarray:
+    """Exactly embed a 7x7/stride-2 stem kernel (7,7,C,O) into the
+    space-to-depth form: a (4,4,4C,O) stride-1 kernel over s2d(x, 2) with
+    padding (2,1). Used by the weight converters; the equivalence is
+    verified in tests."""
+    k7 = jnp.asarray(w7)
+    c, o = k7.shape[2], k7.shape[3]
+    k4 = jnp.zeros((4, 4, 4 * c, o), k7.dtype)
+    for u in range(-3, 4):
+        a, dy = (u + 4) // 2 - 2, (u + 4) % 2
+        for v in range(-3, 4):
+            b, dx = (v + 4) // 2 - 2, (v + 4) % 2
+            k4 = k4.at[a + 2, b + 2, (dy * 2 + dx) * c : (dy * 2 + dx + 1) * c, :].set(
+                k7[u + 3, v + 3]
+            )
+    return k4
+
+
 class DilatedResNet(nn.Module):
     """ResNet v1 trunk with DeepLab dilation; returns the C5 feature map.
 
     ``output_stride`` in {8, 16, 32}.
+
+    ``stem``: 'conv7' = the classic 7x7/2 conv; 's2d' = space-to-depth(2) +
+    4x4 conv — an exact reparametrization (every 7x7/2 map embeds; see
+    ``embed_conv7_as_s2d``) that avoids the TPU-hostile 3-channel
+    half-res conv (the MLPerf ResNet stem trick).
     """
 
     depth: int = 101
     output_stride: int = 16
     norm: str = "frozenbn"
+    stem: str = "conv7"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -168,10 +199,17 @@ class DilatedResNet(nn.Module):
             raise ValueError(f"bad output_stride {self.output_stride}")
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        if self.stem == "s2d":
+            x = space_to_depth(x, 2)
+            x = nn.Conv(
+                64, (4, 4), padding=[(2, 1), (2, 1)],
+                use_bias=False, dtype=self.dtype, name="conv1_s2d",
+            )(x)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
         x = norm(name="bn")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

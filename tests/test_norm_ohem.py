@@ -73,3 +73,33 @@ def test_param_summary():
     assert "TOTAL" in s
     out = infer_shapes(lambda a: m.apply(v, a), x)
     assert out.shape == (1, 2, 2, 512)
+
+
+def test_s2d_stem_exact_reparametrization():
+    """s2d stem == conv7/2 stem: every 7x7/2 map embeds exactly."""
+    from accel_tpu.models.resnet import embed_conv7_as_s2d, space_to_depth
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 20, 3)), jnp.float32)
+    w7 = jnp.asarray(rng.standard_normal((7, 7, 3, 5)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w7, (2, 2), [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    out = jax.lax.conv_general_dilated(
+        space_to_depth(x, 2), embed_conv7_as_s2d(w7), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
+
+
+def test_update_input_downscale_shapes():
+    from accel_tpu.models.accel import AccelNet
+
+    m = AccelNet(family="accel", ref_depth=18, update_depth=18, num_classes=19,
+                 head_channels=16, update_input_downscale=2,
+                 update_head_channels=16, dtype=jnp.float32,
+                 use_pallas_warp=False)
+    img = jnp.zeros((1, 128, 128, 3))
+    v = m.init(jax.random.PRNGKey(0), img, img, jnp.ones((1,)), train=False)
+    s = m.apply(v, img, method="update_scores")
+    assert s.shape == (1, 8, 8, 19)  # resized back to feat stride res

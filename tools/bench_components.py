@@ -52,6 +52,13 @@ def slope_time(step, base, variables=None, n_lo=1, n_hi=8):
 def main():
     if os.environ.get("ACCEL_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["ACCEL_PLATFORM"])
+    # persistent compile cache: first compiles through the TPU tunnel take
+    # minutes; repeat runs of the same bench shapes should be instant
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)

@@ -126,12 +126,15 @@ def load_mxnet_params(path: str) -> tuple[dict, dict]:
 # ---------------------------------------------------------------------------
 
 
-def convert_torch_resnet(state_dict: dict, depth: int) -> tuple[dict, dict]:
+def convert_torch_resnet(state_dict: dict, depth: int, stem: str = "conv7") -> tuple[dict, dict]:
     """Map a torchvision ResNet state_dict onto DilatedResNet's
     params/batch_stats trees (NCHW OIHW -> NHWC HWIO kernels).
 
+    ``stem='s2d'`` embeds the 7x7/2 conv1 into the space-to-depth 4x4 form
+    (exact; see models.resnet.embed_conv7_as_s2d).
+
     Returns (params, batch_stats) nested dicts matching
-    ``DilatedResNet(depth).init(...)`` naming.
+    ``DilatedResNet(depth, stem=stem).init(...)`` naming.
     """
 
     def k2flax(w):  # torch conv (O, I, kh, kw) -> flax (kh, kw, I, O)
@@ -149,7 +152,13 @@ def convert_torch_resnet(state_dict: dict, depth: int) -> tuple[dict, dict]:
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in state_dict.items()}
 
-    put(params, ("conv1", "kernel"), k2flax(sd["conv1.weight"]))
+    if stem == "s2d":
+        from accel_tpu.models.resnet import embed_conv7_as_s2d
+
+        put(params, ("conv1_s2d", "kernel"),
+            np.asarray(embed_conv7_as_s2d(k2flax(sd["conv1.weight"]))))
+    else:
+        put(params, ("conv1", "kernel"), k2flax(sd["conv1.weight"]))
     put(params, ("bn", "scale"), sd["bn1.weight"])  # stem norm
     put(params, ("bn", "bias"), sd["bn1.bias"])
     put(stats, ("bn", "mean"), sd["bn1.running_mean"])
