@@ -23,6 +23,8 @@ def parse_args():
     p.add_argument("--vis", action="store_true")
     p.add_argument("--ignore_cache", action="store_true")
     p.add_argument("--interval", type=int, default=None, help="override KEY_FRAME_INTERVAL")
+    p.add_argument("--sweep", default=None,
+                   help="csv of intervals to evaluate (reference-style interval sweep)")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--random-weights", action="store_true",
                    help="skip checkpoint restore (pipeline smoke / timing)")
@@ -82,21 +84,26 @@ def main():
         else:
             logger.info("no checkpoint found — using random weights")
 
-    loader = TestClipLoader(
-        imdb, cfg, batch_clips=int(cfg.TEST.BATCH_IMAGES), max_items=args.max_items
-    )
     propagate = str(cfg.network.propagate)
-    miou, iou, stats = pred_eval_clips(
-        model, variables, PrefetchingIter(iter(loader)),
-        int(cfg.dataset.NUM_CLASSES), int(cfg.TEST.KEY_FRAME_INTERVAL),
-        propagate, logger,
+    intervals = (
+        [int(x) for x in args.sweep.split(",")]
+        if args.sweep else [int(cfg.TEST.KEY_FRAME_INTERVAL)]
     )
-    for n, v in zip(imdb.class_names, iou):
-        logger.info(f"{n:20s} IU {v * 100:6.2f}")
-    logger.info(
-        f"meanIU {miou * 100:.2f}  fps {stats['fps']:.2f} "
-        f"(interval {cfg.TEST.KEY_FRAME_INTERVAL})"
-    )
+    for interval in intervals:
+        cfg.TEST.KEY_FRAME_INTERVAL = interval
+        loader = TestClipLoader(
+            imdb, cfg, batch_clips=int(cfg.TEST.BATCH_IMAGES), max_items=args.max_items
+        )
+        miou, iou, stats = pred_eval_clips(
+            model, variables, PrefetchingIter(iter(loader)),
+            int(cfg.dataset.NUM_CLASSES), interval, propagate, logger,
+        )
+        if len(intervals) == 1:
+            for n, v in zip(imdb.class_names, iou):
+                logger.info(f"{n:20s} IU {v * 100:6.2f}")
+        logger.info(
+            f"interval {interval}: meanIU {miou * 100:.2f}  fps {stats['fps']:.2f}"
+        )
 
 
 if __name__ == "__main__":
