@@ -1,0 +1,58 @@
+"""Streaming video-segmentation API for serving.
+
+The reference exposes only batch eval (test.py); a production consumer
+needs a stateful per-frame interface. ``VideoSegmenter`` owns the keyframe
+schedule and the device-resident propagation cache (prop tensor + FlowNet
+anchor) and exposes ``push_frame``:
+
+    seg = VideoSegmenter(model, variables, interval=5)
+    for frame in camera:                # (1, H, W, 3) normalized
+        pred = seg.push_frame(frame)    # (1, H, W) uint8 class map
+
+Both per-frame programs are jitted once; the cache never leaves HBM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from accel_tpu.core.predictor import DataBatch, make_key_cur_predictors
+
+
+class VideoSegmenter:
+    def __init__(self, model, variables, interval: int = 5, full_res: bool = True):
+        self.interval = int(interval)
+        self.model = model
+        self._key_p, self._cur_p = make_key_cur_predictors(
+            model, variables, full_res_pred=full_res
+        )
+        self.reset()
+
+    def reset(self):
+        """Drop the propagation state (e.g. on scene cut / new stream)."""
+        self._t = 0
+        self._prop = None
+        self._anchor_small = None
+
+    @property
+    def is_keyframe_next(self) -> bool:
+        return self._t % self.interval == 0 or self._prop is None
+
+    def push_frame(self, frame):
+        """frame (1, H, W, 3) normalized -> (1, H, W) uint8 prediction."""
+        if self.is_keyframe_next or self.model.family == "deeplab":
+            out = self._key_p.predict(DataBatch([frame]))[0]
+        else:
+            out = self._cur_p.predict(
+                DataBatch([frame, self._anchor_small, self._prop])
+            )[0]
+        self._prop = out["prop"]
+        self._anchor_small = out.get("anchor_small")
+        self._t += 1
+        return out["pred"]
+
+    def push_clip(self, clip):
+        """clip (1, F, H, W, 3) -> (1, F, H, W) uint8, streaming per frame
+        (use core.pipeline.clip_predictions for the fused batch path)."""
+        preds = [np.asarray(self.push_frame(clip[:, i])) for i in range(clip.shape[1])]
+        return np.stack(preds, axis=1)

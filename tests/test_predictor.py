@@ -107,3 +107,17 @@ def test_checkpoint_roundtrip(tiny_accel, tmp_path):
     restored = load_checkpoint(prefix, 0, jax.device_get(state))
     for a, b in zip(jax.tree.leaves(state.variables), jax.tree.leaves(restored.variables)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_video_segmenter_streaming(tiny_accel):
+    from accel_tpu.core.serving import VideoSegmenter
+
+    m, variables = tiny_accel
+    seg = VideoSegmenter(m, variables, interval=3)
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.standard_normal((7, 1, 128, 128, 3)), jnp.float32) * 0.1
+    preds = [np.asarray(seg.push_frame(frames[i])) for i in range(7)]
+    assert all(p.shape == (1, 128, 128) and p.dtype == np.uint8 for p in preds)
+    assert seg.is_keyframe_next is False  # t=7, next key at 9
+    seg.reset()
+    assert seg.is_keyframe_next
