@@ -58,7 +58,7 @@ class DeepLab(nn.Module):
     head_channels: int = 1024
     head_dilation: int = 6
     norm: str = "frozenbn"
-    stem: str = "s2d"
+    stem: str = "conv7"
     dtype: Any = jnp.bfloat16
 
     def setup(self):
