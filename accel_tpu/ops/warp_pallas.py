@@ -122,17 +122,21 @@ def warp_pallas_fwd(
     feat: jnp.ndarray,
     flow: jnp.ndarray,
     max_disp: int = 8,
-    c_tile: int = 8,
+    c_tile: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """feat (N,H,W,C), flow (N,H,W,2) -> warped (N,H,W,C).
 
     ``interpret=None`` auto-selects interpreter mode off-TPU so tests can
-    exercise the kernel logic on CPU.
+    exercise the kernel logic on CPU. ``c_tile=None`` picks the channel tile
+    by C: small for score maps (C=19), larger for DFF feature maps (C=1024)
+    so the grid isn't dominated by per-block overhead.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N, H, W, C = feat.shape
+    if c_tile is None:
+        c_tile = 8 if C <= 64 else 32
     feat_nchw = jnp.transpose(feat, (0, 3, 1, 2))
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)
