@@ -208,17 +208,22 @@ def pred_eval_clips(
         return clip_predictions(model, variables, clip, interval, propagate)
 
     t_net = 0.0
-    n_frames = 0
+    n_frames = n_timed = 0
+    first = True
     for item in clip_iter:
         clip = item["clip"]
         t1 = time.time()
         preds = run(variables, clip)
-        jax.block_until_ready(preds)
-        t_net += time.time() - t1
+        preds.block_until_ready()
+        if first:
+            first = False  # first batch pays the jit compile; exclude from fps
+        else:
+            t_net += time.time() - t1
+            n_timed += clip.shape[0] * clip.shape[1]
         n_frames += clip.shape[0] * clip.shape[1]
         if item.get("label") is not None:
             acc.update(preds, item["label"])
     miou, iou = acc.result()
-    fps = n_frames / max(t_net, 1e-9)
+    fps = n_timed / max(t_net, 1e-9)
     log(f"frames {n_frames}  net fps {fps:.2f}  mIoU {miou * 100:.2f}")
     return miou, iou, {"t_net": t_net, "frames": n_frames, "fps": fps}
