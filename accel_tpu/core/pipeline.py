@@ -15,8 +15,6 @@ feature cache lives in HBM as scan carry (BASELINE.json north star).
 
 from __future__ import annotations
 
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp

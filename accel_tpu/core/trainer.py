@@ -13,9 +13,7 @@ in-place in HBM.
 
 from __future__ import annotations
 
-import functools
 import time
-from dataclasses import dataclass
 from typing import Any, Callable, Iterable
 
 import jax
@@ -25,7 +23,7 @@ from flax import struct
 
 from accel_tpu.core.lr_schedule import lr_steps_from_epochs, warmup_multifactor_schedule
 from accel_tpu.core.pipeline import pair_loss
-from accel_tpu.parallel.mesh import batch_sharding, replicated
+from accel_tpu.parallel.mesh import replicated
 
 
 class TrainState(struct.PyTreeNode):

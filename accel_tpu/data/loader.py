@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from accel_tpu.data.image import map_labels, resize, resize_to, transform
+from accel_tpu.data.image import resize, resize_to, transform
 
 
 def _apply_scales(im: np.ndarray, scales, interp: str = "bilinear"):

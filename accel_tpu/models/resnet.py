@@ -14,7 +14,7 @@ compute with float32 params/BN, ``conv_general_dilated`` via flax Conv
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ equivalents: param tree tabulation and a shape-eval without running compute.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def param_count(variables) -> int:

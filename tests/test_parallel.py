@@ -4,7 +4,6 @@ the reference never had (SURVEY.md §4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from accel_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from accel_tpu.core.predictor import DataBatch, Predictor, pred_eval
-from accel_tpu.ops.upsample import resize_bilinear
+
 
 
 def test_predictor_signature_and_predict(tiny_accel):
