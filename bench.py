@@ -49,9 +49,11 @@ def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool):
 
 
 def _init_variables(model, H, W):
+    from accel_tpu.utils.host_init import host_init
+
     cur = jnp.zeros((1, H, W, 3), jnp.float32)
     eq = jnp.ones((1,))
-    return model.init(jax.random.PRNGKey(0), cur, cur, eq, train=False)
+    return host_init(model, cur, cur, eq, train=False)
 
 
 def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):

@@ -84,9 +84,11 @@ def main():
     stds = cfg.network.PIXEL_STDS
     clip = np.stack([transform(f, means, stds)[0] for f in frames])[None]
 
+    from accel_tpu.utils.host_init import host_init
+
     model = build_model(cfg)
     dummy = jnp.zeros((1, 128, 128, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, jnp.ones((1,)), train=False)
+    variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
     preds = np.asarray(
         clip_predictions(model, variables, jnp.asarray(clip), k,
                          str(cfg.network.propagate))

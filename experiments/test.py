@@ -64,9 +64,11 @@ def main():
 
         imdb = CamVid(cfg.dataset.test_image_set, cfg.dataset.root_path, cfg.dataset.dataset_path)
 
+    from accel_tpu.utils.host_init import host_init
+
     model = build_model(cfg)
     dummy = jnp.zeros((1, 128, 128, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, jnp.ones((1,)), train=False)
+    variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
 
     if not args.random_weights:
         train_dir = os.path.join(cfg.output_path, cfg_name, cfg.dataset.image_set)

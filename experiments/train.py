@@ -68,10 +68,12 @@ def main():
     epoch_size = loader.epoch_size
 
     # model + state
+    from accel_tpu.utils.host_init import host_init
+
     model = build_model(cfg)
     crop = cfg.TRAIN.CROP_SIZE or [512, 512]
     dummy = jnp.zeros((1, int(crop[0]), int(crop[1]), 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, jnp.ones((1,)), train=False)
+    variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     logger.info(f"model {cfg.network.name} params {n_params / 1e6:.1f}M epoch_size {epoch_size}")
 
