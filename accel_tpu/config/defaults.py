@@ -102,6 +102,10 @@ def make_defaults() -> Config:
                 # crop for training (H, W); full-res eval
                 "CROP_SIZE": [768, 768],
                 "loss_scale": 1.0,
+                # global-norm gradient clipping (0 = off; useful for
+                # from-scratch training — the reference fine-tuned from
+                # pretrained weights and didn't need it)
+                "grad_clip": 0.0,
                 # online hard example mining: keep this fraction of hardest
                 # pixels (0 disables; reference operator_py OHEM heritage)
                 "ohem_fraction": 0.0,

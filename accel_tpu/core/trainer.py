@@ -50,10 +50,15 @@ def make_optimizer(cfg, epoch_size: int, fixed_prefixes=None):
         warmup_lr=float(tr.warmup_lr),
         warmup_steps=int(tr.warmup_step),
     )
-    tx = optax.chain(
+    clip = float(tr.get("grad_clip", 0) or 0)
+    parts = []
+    if clip > 0:
+        parts.append(optax.clip_by_global_norm(clip))
+    parts += [
         optax.add_decayed_weights(float(tr.wd)),
         optax.sgd(learning_rate=schedule, momentum=float(tr.momentum)),
-    )
+    ]
+    tx = optax.chain(*parts)
     fixed = fixed_prefixes
     if fixed is None:
         fixed = list(cfg.network.FIXED_PARAMS or []) if "network" in cfg else []
