@@ -140,6 +140,8 @@ class TestClipLoader:
     everywhere except each clip's annotated frame, 'entry_idx' (B,).
     """
 
+    __test__ = False  # pytest: not a test class (reference naming)
+
     def __init__(self, imdb, cfg, batch_clips: int = 1, max_items: int | None = None):
         self.imdb = imdb
         self.cfg = cfg

@@ -28,7 +28,8 @@ def parse_args():
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--random-weights", action="store_true",
                    help="skip checkpoint restore (pipeline smoke / timing)")
-    return p.parse_args()
+    args, _unknown = p.parse_known_args()
+    return args
 
 
 def main():

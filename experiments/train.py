@@ -21,7 +21,8 @@ def parse_args():
     p = argparse.ArgumentParser(description="Train Accel/DFF/DeepLab (TPU-native)")
     p.add_argument("--cfg", required=True, help="experiment yaml")
     p.add_argument("--frequent", type=int, default=None, help="log frequency")
-    return p.parse_args()
+    args, _unknown = p.parse_known_args()
+    return args
 
 
 def main():
