@@ -53,6 +53,12 @@ def main():
 
     if os.environ.get("ACCEL_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["ACCEL_PLATFORM"])
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from accel_tpu.config import load_config
