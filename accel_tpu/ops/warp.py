@@ -118,7 +118,9 @@ def bilinear_warp(
     max_disp: int = 16,
 ) -> jnp.ndarray:
     """Dispatching entry point. Falls back to the oracle off-TPU."""
-    if use_pallas and jax.default_backend() == "tpu":
+    from accel_tpu.ops.warp_pallas import _effective_platform
+
+    if use_pallas and _effective_platform() == "tpu":
         return bilinear_warp_pallas(feat, flow, max_disp)
     return bilinear_warp_xla(feat, flow)
 

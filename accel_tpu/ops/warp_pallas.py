@@ -49,6 +49,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _effective_platform() -> str:
+    """Platform the next computation will run on — honors an active
+    ``jax.default_device(...)`` override (host_init initializes TPU models
+    on the CPU backend; the kernel must pick interpret mode there)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform
+    return jax.default_backend()
+
+
 def _warp_kernel(fx_ref, fy_ref, feat_ref, out_ref, rdy_ref, acc_ref, *, D: int, H: int, W: int):
     f32 = jnp.float32
     fx = jnp.clip(fx_ref[0].astype(f32), -D, D)
@@ -133,7 +143,7 @@ def warp_pallas_fwd(
     so the grid isn't dominated by per-block overhead.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = _effective_platform() != "tpu"
     N, H, W, C = feat.shape
     if c_tile is None:
         c_tile = 8 if C <= 64 else 32
