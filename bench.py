@@ -51,7 +51,8 @@ def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool):
 def _init_variables(model, H, W):
     from accel_tpu.utils.host_init import host_init
 
-    cur = jnp.zeros((1, H, W, 3), jnp.float32)
+    side = 64 * int(getattr(model, "flow_input_downscale", 2))
+    cur = jnp.zeros((1, side, side, 3), jnp.float32)
     eq = jnp.ones((1,))
     return host_init(model, cur, cur, eq, train=False)
 

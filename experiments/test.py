@@ -74,7 +74,8 @@ def main():
     from accel_tpu.utils.host_init import host_init
 
     model = build_model(cfg)
-    dummy = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    side = 64 * int(cfg.network.flow_input_downscale)
+    dummy = jnp.zeros((1, side, side, 3), jnp.float32)
     variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
 
     if not args.random_weights:

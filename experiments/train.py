@@ -78,8 +78,10 @@ def main():
     from accel_tpu.utils.host_init import host_init
 
     model = build_model(cfg)
-    crop = cfg.TRAIN.CROP_SIZE or [512, 512]
-    dummy = jnp.zeros((1, int(crop[0]), int(crop[1]), 3), jnp.float32)
+    # param shapes are resolution-independent: init at the smallest legal
+    # size (FlowNet needs side/downscale divisible by 64)
+    side = 64 * int(cfg.network.flow_input_downscale)
+    dummy = jnp.zeros((1, side, side, 3), jnp.float32)
     variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     logger.info(f"model {cfg.network.name} params {n_params / 1e6:.1f}M epoch_size {epoch_size}")
