@@ -106,6 +106,8 @@ def make_defaults() -> Config:
                 # from-scratch training — the reference fine-tuned from
                 # pretrained weights and didn't need it)
                 "grad_clip": 0.0,
+                # checkpoint every N epochs (reference saves every epoch)
+                "checkpoint_interval": 1,
                 # online hard example mining: keep this fraction of hardest
                 # pixels (0 disables; reference operator_py OHEM heritage)
                 "ohem_fraction": 0.0,

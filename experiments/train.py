@@ -115,7 +115,12 @@ def main():
         model, state, step, data_iter,
         epochs=int(cfg.TRAIN.end_epoch), epoch_size=epoch_size,
         logger=logger, frequent=args.frequent or int(cfg.default.frequent),
-        epoch_end_callback=lambda e, s: save_checkpoint(prefix, e, jax.device_get(s)),
+        epoch_end_callback=lambda e, s: (
+            save_checkpoint(prefix, e, jax.device_get(s))
+            if (e + 1) % max(int(cfg.TRAIN.checkpoint_interval), 1) == 0
+            or e == int(cfg.TRAIN.end_epoch) - 1
+            else None
+        ),
         begin_epoch=begin_epoch,
         metrics_writer=metrics_writer,
     )
