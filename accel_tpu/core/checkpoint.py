@@ -25,7 +25,9 @@ def _mngr(prefix_dir: str) -> ocp.CheckpointManager:
 def save_checkpoint(prefix_dir: str, epoch: int, state) -> None:
     """Save the train state for ``epoch`` (reference: do_checkpoint)."""
     mngr = _mngr(prefix_dir)
-    mngr.save(epoch, args=ocp.args.StandardSave(state))
+    # force: overwrite an existing step (orbax otherwise silently skips,
+    # which resurrects stale checkpoints when a run is repeated)
+    mngr.save(epoch, args=ocp.args.StandardSave(state), force=True)
     mngr.wait_until_finished()
     mngr.close()
 
