@@ -43,9 +43,13 @@ def make_defaults() -> Config:
                 "head_channels": 1024,
                 # FlowNet runs on inputs downscaled by this factor
                 "flow_input_downscale": 2,
-                # flow propagation: 'direct' (DFF: key->cur in one shot) or
-                # 'incremental' (Accel: prev->cur, cascaded warps)
-                "propagate": "incremental",
+                # flow propagation: 'direct' (key->cur in one shot — matches
+                # the pair-based training objective; the trained scale field
+                # is calibrated for exactly one warp) or 'incremental'
+                # (prev->cur cascaded warps, the Accel-paper style — only
+                # valid with clip-based training that cascades during
+                # training too, else the scale modulation compounds)
+                "propagate": "direct",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
                 # norm layer: 'frozenbn' (reference behavior, for pretrained

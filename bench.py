@@ -141,7 +141,7 @@ def main():
         clip = jnp.asarray(rng.standard_normal((B, k, H, W, 3)), jnp.float32)
 
         def run_clip(variables, clip):
-            return clip_predictions(model, variables, clip, k, "incremental")
+            return clip_predictions(model, variables, clip, k, "direct")
 
         t = _slope_time(run_clip, variables, clip, verbose=args.verbose)
         return (B * k) / t

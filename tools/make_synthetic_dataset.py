@@ -23,7 +23,16 @@ def write_snippet(data_dir, split, city, seq, H, W, rng, seq_frames=8):
 
     from accel_tpu.data.cityscapes import ANNOTATED_FRAME
 
-    base = rng.integers(0, 255, (H, W, 3), np.uint8)
+    # class-correlated appearance: each label band gets a distinct base
+    # color + noise, so a trained model generalizes across images instead
+    # of having to memorize pure noise
+    band_colors = np.array([[180, 130, 70], [90, 90, 90], [40, 40, 160]], np.float32)
+    base = np.empty((H, W, 3), np.float32)
+    base[: H // 3] = band_colors[0]
+    base[H // 3 : 2 * H // 3] = band_colors[1]
+    base[2 * H // 3 :] = band_colors[2]
+    base = base + rng.normal(0, 30, (H, W, 3))
+    base = np.clip(base, 0, 255).astype(np.uint8)
     name = f"{city}_{seq:06d}_{ANNOTATED_FRAME:06d}"
 
     def put(path, arr):
