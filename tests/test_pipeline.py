@@ -79,3 +79,34 @@ def test_pair_loss_finite_and_decreases_on_step(tiny_accel):
         )
     )
     assert loss2 < loss
+
+
+def test_direct_mode_matches_pair_training_objective(tiny_accel):
+    """Regression for the round-1 eval bug: a pair-trained model must be
+    evaluated with 'direct' propagation — frame i of a group equals the
+    training pair forward (cur=frame_i, key=frame_0). 'incremental' mode
+    re-applies the scale field per step and diverges once the scale is not
+    identity (it compounds), which silently destroyed eval mIoU."""
+    m, variables = tiny_accel
+    # perturb the flow + scale heads so the warp/scale path is non-trivial
+    import flax
+
+    params = flax.core.unfreeze(jax.tree.map(lambda x: x, variables["params"]))
+    fn = params["flownet"]
+    fn["scale_field"]["bias"] = fn["scale_field"]["bias"] * 0.0 + 0.7
+    fn["predict_flow2"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(9), fn["predict_flow2"]["kernel"].shape) * 0.1
+    )
+    v2 = dict(variables)
+    v2["params"] = params
+
+    clip = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 128, 128, 3)) * 0.1
+    lg_direct = clip_logits(m, v2, clip, interval=3, propagate="direct")
+    # frame 2 via the training pair forward (eq=0: key=frame0, cur=frame2)
+    pair = m.apply(v2, clip[:, 2], clip[:, 0], jnp.zeros((1,)), train=False)
+    np.testing.assert_allclose(
+        np.asarray(lg_direct[:, 2]), np.asarray(pair), atol=2e-3
+    )
+    # incremental differs at frame 2 (scale applied twice)
+    lg_inc = clip_logits(m, v2, clip, interval=3, propagate="incremental")
+    assert np.abs(np.asarray(lg_inc[:, 2]) - np.asarray(lg_direct[:, 2])).max() > 1e-3
