@@ -146,7 +146,9 @@ def warp_pallas_fwd(
         interpret = _effective_platform() != "tpu"
     N, H, W, C = feat.shape
     if c_tile is None:
-        c_tile = 8 if C <= 64 else 32
+        # larger tiles amortize per-block coefficient computation (measured
+        # on 1024ch@64x128: 5.8/4.0/3.0 ms at c_tile 8/32/128)
+        c_tile = 8 if C <= 64 else (32 if C <= 256 else 128)
     feat_nchw = jnp.transpose(feat, (0, 3, 1, 2))
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)
