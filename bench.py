@@ -162,6 +162,14 @@ def main():
     )
     fast_fps = measure_clip(fast_model, args.clip_batch)
 
+    # DFF family (keyframe fc6 features warped forward, no update branch)
+    dff_model = AccelNet(
+        family="dff", ref_depth=101, num_classes=19, feat_stride=16,
+        head_channels=1024, dtype=jnp.bfloat16, use_pallas_warp=use_pallas,
+        warp_max_disp=16, flow_input_downscale=4, flow_width_mult=0.5,
+    )
+    dff_fps = measure_clip(dff_model, args.clip_batch)
+
     print(
         json.dumps(
             {
@@ -172,6 +180,8 @@ def main():
                 "baseline_deeplab101_fps": round(base_fps, 3),
                 "accel18_fast_fps": round(fast_fps, 3),
                 "accel18_fast_vs_baseline": round(fast_fps / base_fps, 3),
+                "dff_fps": round(dff_fps, 3),
+                "dff_vs_baseline": round(dff_fps / base_fps, 3),
                 "backend": jax.default_backend(),
                 "pallas_warp": use_pallas,
             }
