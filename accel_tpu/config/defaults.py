@@ -115,6 +115,9 @@ def make_defaults() -> Config:
                 # online hard example mining: keep this fraction of hardest
                 # pixels (0 disables; reference operator_py OHEM heritage)
                 "ohem_fraction": 0.0,
+                # auxiliary CE weight on raw branch outputs (keeps the
+                # keyframe path strong; 0 = reference behavior)
+                "aux_loss_weight": 0.5,
             },
             "TEST": {
                 "BATCH_IMAGES": 1,

@@ -39,9 +39,18 @@ def pair_loss(model, variables, batch, num_classes: int, loss_scale: float = 1.0
 def pair_loss_and_stats(
     model, variables, batch, num_classes: int, loss_scale: float = 1.0,
     mutable_stats: bool = False, ohem_fraction: float | None = None,
+    aux_weight: float = 0.0,
 ):
     """pair_loss variant returning (loss, new_batch_stats-or-None); set
-    ``mutable_stats`` when the model uses running-stat BatchNorm."""
+    ``mutable_stats`` when the model uses running-stat BatchNorm.
+
+    ``aux_weight`` > 0 adds auxiliary CE on the raw branch outputs
+    (reference-branch scores on the *current* frame and update-branch
+    scores) so the keyframe path stays strong even though most training
+    pairs exercise the warp path — without it, interval-1 eval (pure
+    keyframe) lags the warped path badly (round-1 finding: 43 vs 98 mIoU
+    on the synthetic set).
+    """
     if mutable_stats:
         logits, new_vars = model.apply(
             variables, batch["data"], batch["data_ref"], batch["eq_flag"],
@@ -54,10 +63,26 @@ def pair_loss_and_stats(
         )
         new_stats = None
     label = batch["label"]
-    logits_full = resize_bilinear(logits, label.shape[1:3])
+    hw = label.shape[1:3]
+    logits_full = resize_bilinear(logits, hw)
     loss = softmax_cross_entropy(
         logits_full, label, num_classes, loss_scale, ohem_fraction
     )
+    if aux_weight > 0.0 and model.family in ("dff", "accel"):
+        prop_cur = model.apply(variables, batch["data"], method="ref_propagated")
+        ref_scores = model.apply(
+            variables, prop_cur, method="ref_scores_from_propagated"
+        )
+        loss = loss + aux_weight * softmax_cross_entropy(
+            resize_bilinear(ref_scores, hw), label, num_classes, loss_scale,
+            ohem_fraction,
+        )
+        if model.family == "accel":
+            upd = model.apply(variables, batch["data"], method="update_scores")
+            loss = loss + aux_weight * softmax_cross_entropy(
+                resize_bilinear(upd, hw), label, num_classes, loss_scale,
+                ohem_fraction,
+            )
     return loss, new_stats
 
 

@@ -87,6 +87,7 @@ def init_train_state(model, variables, tx) -> TrainState:
 def make_train_step(
     model, tx, num_classes: int, loss_scale: float = 1.0, mesh=None,
     mutable_stats: bool | None = None, ohem_fraction: float | None = None,
+    aux_weight: float = 0.0,
 ):
     """Build the jitted train step. With a mesh, batch is data-sharded and
     state replicated; without, plain jit (single device). ``mutable_stats``
@@ -103,7 +104,7 @@ def make_train_step(
             variables["params"] = params
             return pair_loss_and_stats(
                 model, variables, batch, num_classes, loss_scale, mutable_stats,
-                ohem_fraction,
+                ohem_fraction, aux_weight,
             )
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

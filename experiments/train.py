@@ -103,7 +103,7 @@ def main():
     ohem = float(cfg.TRAIN.ohem_fraction) or None
     step = make_train_step(
         model, tx, int(cfg.dataset.NUM_CLASSES), float(cfg.TRAIN.loss_scale), mesh,
-        ohem_fraction=ohem,
+        ohem_fraction=ohem, aux_weight=float(cfg.TRAIN.aux_loss_weight),
     )
     data_iter = PrefetchingIter(
         iter(loader), depth=int(cfg.tpu.prefetch_depth),

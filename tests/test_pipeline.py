@@ -110,3 +110,20 @@ def test_direct_mode_matches_pair_training_objective(tiny_accel):
     # incremental differs at frame 2 (scale applied twice)
     lg_inc = clip_logits(m, v2, clip, interval=3, propagate="incremental")
     assert np.abs(np.asarray(lg_inc[:, 2]) - np.asarray(lg_direct[:, 2])).max() > 1e-3
+
+
+def test_aux_loss_supervises_branches(tiny_accel):
+    from accel_tpu.core.pipeline import pair_loss_and_stats
+
+    m, variables = tiny_accel
+    rng = jax.random.PRNGKey(2)
+    batch = {
+        "data": jax.random.normal(rng, (1, 128, 128, 3)) * 0.1,
+        "data_ref": jax.random.normal(rng, (1, 128, 128, 3)) * 0.1,
+        "eq_flag": jnp.zeros((1,)),
+        "label": jax.random.randint(jax.random.PRNGKey(3), (1, 128, 128), 0, 19),
+    }
+    l0, _ = pair_loss_and_stats(m, variables, batch, 19, aux_weight=0.0)
+    l1, _ = pair_loss_and_stats(m, variables, batch, 19, aux_weight=0.5)
+    assert float(l1) > float(l0)  # aux terms add supervised signal
+    assert np.isfinite(float(l1))
