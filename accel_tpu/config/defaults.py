@@ -126,6 +126,9 @@ def make_defaults() -> Config:
                 "KEY_FRAME_OFFSET": 0,
                 "max_per_image": 300,
                 "test_epoch": 5,
+                # prediction upsampling: 'bilinear_logits' (reference
+                # protocol) | 'nearest_pred' (cheaper serving mode)
+                "upsample": "bilinear_logits",
             },
             # TPU-native extensions (no reference counterpart)
             "tpu": {

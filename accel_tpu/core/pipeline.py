@@ -175,17 +175,28 @@ def clip_predictions(
     interval: int,
     propagate: str = "incremental",
     full_res: bool = True,
+    upsample: str = "bilinear_logits",
 ) -> jnp.ndarray:
     """clip -> per-frame argmax class maps (B, F, H, W) uint8.
 
-    Matches the reference eval protocol: bilinear-upsample logits to input
-    resolution, then argmax (SURVEY.md §3.3 step 7).
+    ``upsample='bilinear_logits'`` matches the reference eval protocol:
+    bilinear-upsample the 19-channel logits to input resolution, then argmax
+    (SURVEY.md §3.3 step 7). ``'nearest_pred'`` argmaxes at stride
+    resolution and nearest-upsamples the class map — cheaper (no full-res
+    19-channel tensor) with a small boundary-pixel mIoU cost; a serving
+    knob, not the eval default.
     """
     logits = clip_logits(model, variables, clip, interval, propagate)
     B, F = logits.shape[:2]
     if not full_res:
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
     H, W = clip.shape[2:4]
+
+    if upsample == "nearest_pred":
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)  # (B,F,h,w)
+        h, w = pred.shape[2:]
+        pred = jnp.repeat(jnp.repeat(pred, H // h, axis=2), W // w, axis=3)
+        return pred
 
     def up_argmax(lg):  # (B, h, w, C) one frame at a time to bound memory
         return jnp.argmax(resize_bilinear(lg, (H, W)), axis=-1).astype(jnp.uint8)

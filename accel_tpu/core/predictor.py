@@ -190,6 +190,7 @@ def pred_eval_clips(
     interval: int,
     propagate: str = "incremental",
     logger=None,
+    upsample: str = "bilinear_logits",
 ):
     """Fast path: batched clip inference (one fused XLA program per clip
     batch via lax.scan) — the TPU-native replacement for the per-frame loop.
@@ -205,7 +206,9 @@ def pred_eval_clips(
 
     @jax.jit
     def run(variables, clip):
-        return clip_predictions(model, variables, clip, interval, propagate)
+        return clip_predictions(
+            model, variables, clip, interval, propagate, upsample=upsample
+        )
 
     t_net = 0.0
     n_frames = n_timed = 0

@@ -107,6 +107,7 @@ def main():
         miou, iou, stats = pred_eval_clips(
             model, variables, PrefetchingIter(iter(loader)),
             int(cfg.dataset.NUM_CLASSES), interval, propagate, logger,
+            upsample=str(cfg.TEST.upsample),
         )
         if len(intervals) == 1:
             for n, v in zip(imdb.class_names, iou):
