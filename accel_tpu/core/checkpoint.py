@@ -54,6 +54,18 @@ def latest_epoch(prefix_dir: str) -> int | None:
     return step
 
 
+def saved_epochs(prefix_dir: str) -> list[int]:
+    """All saved steps, ascending. With TRAIN.checkpoint_interval > 1 not
+    every epoch exists — callers wanting "epoch <= N" must pick from this
+    list rather than assume N was saved."""
+    if not os.path.isdir(prefix_dir):
+        return []
+    mngr = _mngr(prefix_dir)
+    steps = sorted(mngr.all_steps())
+    mngr.close()
+    return steps
+
+
 def save_params(path: str, variables) -> None:
     """Standalone params dump (reference: the .params file for test.py)."""
     ckptr = ocp.StandardCheckpointer()

@@ -106,15 +106,27 @@ class FCNLogLossMetric:
 
 
 class SegConfusionAccumulator:
-    """Streaming confusion-matrix accumulator (device-side adds, host read)."""
+    """Streaming confusion-matrix accumulator.
+
+    The per-batch matrix is computed on device (f32 one-hot matmul — exact
+    while every cell count stays below 2^24, i.e. up to ~16M valid pixels
+    per cell per batch, far above any real batch), then accumulated into a
+    host-side float64 matrix so full-dataset totals (~1e9 pixels on
+    Cityscapes val) keep exact integer counts, matching the reference's
+    integer histogram."""
 
     def __init__(self, num_classes: int):
+        import numpy as np
+
         self.num_classes = num_classes
-        self.cm = jnp.zeros((num_classes, num_classes), jnp.float32)
+        self.cm = np.zeros((num_classes, num_classes), np.float64)
 
     def update(self, pred, label):
-        self.cm = self.cm + confusion_matrix(pred, label, self.num_classes)
+        import numpy as np
+
+        batch_cm = confusion_matrix(pred, label, self.num_classes)
+        self.cm += np.asarray(batch_cm, np.float64)
 
     def result(self) -> tuple[float, list[float]]:
-        miou, iou = miou_from_confusion(self.cm)
+        miou, iou = miou_from_confusion(jnp.asarray(self.cm))
         return float(miou), [float(x) for x in iou]

@@ -72,15 +72,28 @@ class Predictor:
         return [out]
 
 
-def make_key_cur_predictors(model, variables, full_res_pred: bool = True):
+def make_key_cur_predictors(
+    model, variables, full_res_pred: bool = True, propagate: str = "direct"
+):
     """Build the reference's two-executor inference pair (SURVEY.md §3.1:
     ``get_key_test_symbol`` / ``get_cur_test_symbol``) as Predictors.
 
     key predictor:  data -> {'prop': cached tensor, 'pred': argmax map}
     cur predictor:  (data, anchor_small, prop) -> same; ``anchor_small`` is
-    the FlowNet-downscaled previous/key frame (the caller carries it, like
-    the reference's feat cache re-fed as input).
+    the FlowNet-downscaled anchor frame (the caller carries it, like the
+    reference's feat cache re-fed as input).
+
+    ``propagate`` must match how the weights were trained
+    (``cfg.network.propagate``): 'direct' anchors flow and warp at the
+    keyframe — the cur predictor passes prop/anchor through unchanged, so
+    the scale field is applied once per frame, matching the pair training
+    objective. 'incremental' cascades frame-to-frame (the reference Accel
+    semantics); under pair-trained weights the re-applied scale field
+    compounds and corrupts predictions (round-1 measurement: 98.7 vs 2.6
+    accuracy), hence 'direct' is the default.
     """
+    if propagate not in ("direct", "incremental"):
+        raise ValueError(f"propagate must be direct|incremental, got {propagate!r}")
     import jax.numpy as jnp
 
     from accel_tpu.ops.upsample import resize_bilinear
@@ -112,9 +125,14 @@ def make_key_cur_predictors(model, variables, full_res_pred: bool = True):
         if model.family == "accel":
             upd = model.apply(v, image, method="update_scores")
             scores = model.apply(v, scores, upd, method="fuse")
+        if propagate == "direct":
+            # keyframe-anchored: carry the keyframe tensors through unchanged
+            next_prop, next_anchor = prop, anchor_small
+        else:
+            next_prop, next_anchor = warped, small
         return {
-            "prop": warped,
-            "anchor_small": small,
+            "prop": next_prop,
+            "anchor_small": next_anchor,
             "pred": _pred_from_scores(scores, image.shape[1:3]),
         }
 

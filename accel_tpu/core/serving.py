@@ -20,11 +20,24 @@ from accel_tpu.core.predictor import DataBatch, make_key_cur_predictors
 
 
 class VideoSegmenter:
-    def __init__(self, model, variables, interval: int = 5, full_res: bool = True):
+    def __init__(
+        self,
+        model,
+        variables,
+        interval: int = 5,
+        full_res: bool = True,
+        propagate: str = "direct",
+    ):
+        """``propagate`` must match the training objective
+        (``cfg.network.propagate``): 'direct' (pair-trained, the default)
+        anchors every non-key frame at the keyframe; 'incremental' cascades
+        frame-to-frame (requires clip-trained weights — under pair-trained
+        weights the re-applied scale field compounds)."""
         self.interval = int(interval)
         self.model = model
+        self.propagate = propagate
         self._key_p, self._cur_p = make_key_cur_predictors(
-            model, variables, full_res_pred=full_res
+            model, variables, full_res_pred=full_res, propagate=propagate
         )
         self.reset()
 

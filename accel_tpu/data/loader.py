@@ -154,6 +154,14 @@ class TestClipLoader:
         entries = [e for e in imdb.segdb if e["annotation"]]
         self.entries = entries[:max_items] if max_items else entries
         self.has_seq = getattr(imdb, "has_sequences", lambda: False)()
+        # position of the annotated frame within each clip (constant for a
+        # loader: clip layout is keyframe-first with the annotated frame
+        # key_offset frames before the clip end)
+        self.ann_pos = self.interval - 1 - self.key_offset
+        assert 0 <= self.ann_pos < self.interval, "KEY_FRAME_OFFSET out of range"
+        # entry -> segdb index, precomputed (id-keyed; list.index would be
+        # O(N^2) across the epoch)
+        self._entry_idx = {id(e): i for i, e in enumerate(imdb.segdb)}
 
     def __len__(self):
         return (len(self.entries) + self.batch_clips - 1) // self.batch_clips
@@ -162,8 +170,7 @@ class TestClipLoader:
         from accel_tpu.data.cityscapes import ANNOTATED_FRAME
 
         k = self.interval
-        ann_pos = k - 1 - self.key_offset  # annotated frame's index in clip
-        assert 0 <= ann_pos < k, "KEY_FRAME_OFFSET out of range"
+        ann_pos = self.ann_pos
         frames = []
         for i in range(k):
             fidx = ANNOTATED_FRAME - ann_pos + i
@@ -191,10 +198,10 @@ class TestClipLoader:
             chunk = self.entries[i : i + self.batch_clips]
             clips, labels, idxs = [], [], []
             for e in chunk:
-                clip, label, ann_pos = self._load_clip(e)
+                clip, label, _ = self._load_clip(e)
                 clips.append(clip)
                 labels.append(label)
-                idxs.append(self.imdb.segdb.index(e))
+                idxs.append(self._entry_idx[id(e)])
             # pad last batch to full size with repeats (static shapes for jit)
             while len(clips) < self.batch_clips:
                 clips.append(clips[-1])
@@ -204,5 +211,5 @@ class TestClipLoader:
                 "clip": np.stack(clips, 0),
                 "label": np.stack(labels, 0),
                 "entry_idx": np.asarray(idxs),
-                "ann_pos": ann_pos,
+                "ann_pos": self.ann_pos,
             }

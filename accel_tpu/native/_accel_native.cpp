@@ -126,12 +126,18 @@ PyObject* normalize(PyObject*, PyObject* args) {
   }
   const int64_t hw = PyArray_DIM(im, 0) * PyArray_DIM(im, 1);
   const int c = static_cast<int>(PyArray_DIM(im, 2));
+  if (c > 16 || PyArray_SIZE(mean) < c || PyArray_SIZE(stdv) < c) {
+    Py_DECREF(im); Py_DECREF(mean); Py_DECREF(stdv);
+    PyErr_SetString(PyExc_ValueError,
+                    "normalize: C must be <= 16 and means/stds must have >= C entries");
+    return nullptr;
+  }
   PyArrayObject* out = reinterpret_cast<PyArrayObject*>(
       PyArray_SimpleNew(3, PyArray_DIMS(im), NPY_FLOAT32));
   const float* m = static_cast<const float*>(PyArray_DATA(mean));
   const float* s = static_cast<const float*>(PyArray_DATA(stdv));
   float inv[16];
-  for (int k = 0; k < c && k < 16; ++k) inv[k] = 1.0f / s[k];
+  for (int k = 0; k < c; ++k) inv[k] = 1.0f / s[k];
   float* dst = static_cast<float*>(PyArray_DATA(out));
   const int typ = PyArray_TYPE(im);
   bool ok = true;

@@ -125,11 +125,15 @@ def bilinear_warp(
     3-6 ms — the gather index is shared across channels, so XLA lowers it
     to row-wise DMA copies, while the roll-accumulate kernel's work scales
     with the displacement bound). Dispatch accordingly; the oracle also
-    serves all non-TPU backends and unbounded flow.
+    serves all non-TPU backends, unbounded flow, and spatial planes too
+    large for the kernel's whole-plane VMEM residency (the kernel has no
+    H/W tiling — see warp_pallas.vmem_block_bytes).
     """
-    from accel_tpu.ops.warp_pallas import _effective_platform
+    from accel_tpu.ops.warp_pallas import _effective_platform, vmem_block_bytes
 
-    if use_pallas and _effective_platform() == "tpu" and feat.shape[-1] <= 64:
+    N, H, W, C = feat.shape
+    fits_vmem = vmem_block_bytes(H, W, C, feat.dtype.itemsize) <= 12 * 2**20
+    if use_pallas and _effective_platform() == "tpu" and C <= 64 and fits_vmem:
         return bilinear_warp_pallas(feat, flow, max_disp)
     return bilinear_warp_xla(feat, flow)
 

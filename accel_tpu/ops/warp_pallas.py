@@ -49,6 +49,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def default_c_tile(C: int) -> int:
+    """Channel tile by width: small for score maps (C=19), larger for DFF
+    feature maps so the grid isn't dominated by per-block overhead
+    (measured on 1024ch@64x128: 5.8/4.0/3.0 ms at c_tile 8/32/128)."""
+    return 8 if C <= 64 else (32 if C <= 256 else 128)
+
+
+def vmem_block_bytes(H: int, W: int, C: int, feat_bytes: int = 2) -> int:
+    """Per-grid-step VMEM footprint of the kernel. The kernel holds the FULL
+    padded H x W plane per block (rolls span the whole plane — there is no
+    spatial tiling), so it is only viable for feature-stride maps: at
+    stride 16 on 1024x2048 inputs a block is ~0.5 MB, but a full-resolution
+    warp would need ~100s of MB against ~16 MB of VMEM/core. The dispatcher
+    in ``warp.py`` gates on this estimate and falls back to the XLA gather
+    (which tiles fine) above the budget."""
+    Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+    ct = default_c_tile(C)
+    plane = Hp * Wp
+    # feat-in + out blocks (feat dtype) + 2 f32 scratch accumulators + 2 flow planes
+    return plane * (ct * (2 * feat_bytes + 8) + 8)
+
+
 def _effective_platform() -> str:
     """Platform the next computation will run on — honors an active
     ``jax.default_device(...)`` override (host_init initializes TPU models
@@ -146,9 +168,7 @@ def warp_pallas_fwd(
         interpret = _effective_platform() != "tpu"
     N, H, W, C = feat.shape
     if c_tile is None:
-        # larger tiles amortize per-block coefficient computation (measured
-        # on 1024ch@64x128: 5.8/4.0/3.0 ms at c_tile 8/32/128)
-        c_tile = 8 if C <= 64 else (32 if C <= 256 else 128)
+        c_tile = default_c_tile(C)
     feat_nchw = jnp.transpose(feat, (0, 3, 1, 2))
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)

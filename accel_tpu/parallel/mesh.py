@@ -43,7 +43,9 @@ def mesh_from_cfg(cfg, devices=None) -> Mesh:
         gpus = str(cfg.get("gpus", "") or "")
         if gpus:
             ids = [int(x) for x in gpus.split(",") if x.strip() != ""]
-            if all(i < len(all_devices) for i in ids) and len(ids) > 1:
+            # any valid explicit id list selects devices (including a single
+            # id); all-devices default only when the field is empty
+            if ids and all(i < len(all_devices) for i in ids):
                 devices = [all_devices[i] for i in ids]
     m = cfg.tpu.mesh
     return make_mesh(int(m.data), int(m.spatial), devices)

@@ -99,13 +99,11 @@ def main():
 
     if os.environ.get("ACCEL_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["ACCEL_PLATFORM"])
-    # persistent compile cache: first compiles through the TPU tunnel take
-    # minutes; repeat runs of the same bench shapes should be instant
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    # persistent compile cache (host-keyed so cross-host AOT reuse doesn't
+    # spew machine-feature/SIGILL warnings into the bench artifact)
+    from accel_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)

@@ -40,16 +40,13 @@ def main():
 
     if _os.environ.get("ACCEL_PLATFORM"):
         jax.config.update("jax_platforms", _os.environ["ACCEL_PLATFORM"])
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          _os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from accel_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     import jax.numpy as jnp
 
     from accel_tpu.config import load_config
-    from accel_tpu.core.checkpoint import latest_epoch, load_checkpoint
+    from accel_tpu.core.checkpoint import load_checkpoint, saved_epochs
     from accel_tpu.core.predictor import pred_eval_clips
     from accel_tpu.data.loader import TestClipLoader
     from accel_tpu.data.prefetch import PrefetchingIter
@@ -81,13 +78,16 @@ def main():
     if not args.random_weights:
         train_dir = os.path.join(cfg.output_path, cfg_name, cfg.dataset.image_set)
         prefix = os.path.join(train_dir, cfg.TRAIN.model_prefix)
-        epoch = int(cfg.TEST.test_epoch) - 1
-        if latest_epoch(prefix) is not None:
+        requested = int(cfg.TEST.test_epoch) - 1
+        steps = saved_epochs(prefix)
+        if steps:
             from accel_tpu.core.trainer import init_train_state, make_optimizer
 
             tx, _ = make_optimizer(cfg, 1)
             state = init_train_state(model, variables, tx)
-            epoch = min(epoch, latest_epoch(prefix))
+            # largest saved step <= requested (checkpoint_interval > 1 means
+            # not every epoch exists); fall back to the earliest saved one
+            epoch = max([s for s in steps if s <= requested], default=steps[0])
             state = load_checkpoint(prefix, epoch, state)
             variables = state.variables
             logger.info(f"restored {prefix} epoch {epoch}")

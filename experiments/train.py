@@ -33,12 +33,9 @@ def main():
 
     if _os.environ.get("ACCEL_PLATFORM"):
         jax.config.update("jax_platforms", _os.environ["ACCEL_PLATFORM"])
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          _os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    from accel_tpu.utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     import jax.numpy as jnp
 
     from accel_tpu.config import load_config

@@ -71,7 +71,7 @@ def test_pred_eval_matches_clip_scan(tiny_accel):
 
     scan_preds = np.asarray(clip_predictions(m, variables, clip, 4, "incremental"))
 
-    kp, cp = make_key_cur_predictors(m, variables)
+    kp, cp = make_key_cur_predictors(m, variables, propagate="incremental")
     loop_preds = []
     prop = anchor = None
     for i in range(4):
@@ -84,6 +84,27 @@ def test_pred_eval_matches_clip_scan(tiny_accel):
     loop_preds = np.stack(loop_preds, 1)
     # identical protocol -> identical argmax maps (tiny numeric slack may
     # flip ties, so compare fraction of agreeing pixels)
+    agree = (scan_preds == loop_preds).mean()
+    assert agree > 0.999, f"agreement {agree}"
+
+
+def test_pred_eval_direct_mode_matches_clip_scan(tiny_accel):
+    """Serving default ('direct') must reproduce the fused clip path's
+    direct-mode predictions — the mode pair-trained weights require
+    (ADVICE r1: the per-frame loop used to hardwire incremental, silently
+    compounding the scale field under the default training recipe)."""
+    from accel_tpu.core.pipeline import clip_predictions
+    from accel_tpu.core.serving import VideoSegmenter
+
+    m, variables = tiny_accel
+    H = W = 128
+    rng = np.random.default_rng(7)
+    clip = jnp.asarray(rng.standard_normal((1, 4, H, W, 3)), jnp.float32) * 0.1
+
+    scan_preds = np.asarray(clip_predictions(m, variables, clip, 4, "direct"))
+
+    seg = VideoSegmenter(m, variables, interval=4)  # propagate defaults direct
+    loop_preds = np.asarray(seg.push_clip(clip))
     agree = (scan_preds == loop_preds).mean()
     assert agree > 0.999, f"agreement {agree}"
 
