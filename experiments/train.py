@@ -83,6 +83,15 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
     logger.info(f"model {cfg.network.name} params {n_params / 1e6:.1f}M epoch_size {epoch_size}")
 
+    # pretrained init (reference: load_param(resnet)+load_param(flownet)
+    # merged before fit, SURVEY.md §3.2); FIXED_PARAMS freezing happens in
+    # make_optimizer's mask
+    if cfg.network.get("pretrained") or cfg.network.get("pretrained_flow") \
+            or cfg.network.get("pretrained_update"):
+        from accel_tpu.core.pretrained import apply_pretrained_cfg
+
+        variables, _ = apply_pretrained_cfg(cfg, variables, logger)
+
     mesh = mesh_from_cfg(cfg)
     tx, _ = make_optimizer(cfg, epoch_size)
     state = init_train_state(model, variables, tx)
