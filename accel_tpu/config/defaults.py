@@ -31,6 +31,8 @@ def make_defaults() -> Config:
                 "update_depth": 18,
                 "pretrained": "",
                 "pretrained_flow": "",
+                # optional pretrained backbone for the accel update branch
+                "pretrained_update": "",
                 "pretrained_epoch": 0,
                 "PIXEL_MEANS": [103.06, 115.90, 123.15],  # BGR means (ref style)
                 "PIXEL_STDS": [1.0, 1.0, 1.0],
@@ -118,6 +120,12 @@ def make_defaults() -> Config:
                 # auxiliary CE weight on raw branch outputs (keeps the
                 # keyframe path strong; 0 = reference behavior)
                 "aux_loss_weight": 0.5,
+                # training objective: 'pair' (reference: single sampled
+                # warp per example) or 'clip' (cascade-unrolled CE through
+                # CLIP_LENGTH frames — required for propagate='incremental'
+                # eval to hold up; see core/pipeline.clip_loss_and_stats)
+                "objective": "pair",
+                "CLIP_LENGTH": 5,
             },
             "TEST": {
                 "BATCH_IMAGES": 1,

@@ -86,9 +86,122 @@ def pair_loss_and_stats(
     return loss, new_stats
 
 
+def clip_loss_and_stats(
+    model, variables, batch, num_classes: int, loss_scale: float = 1.0,
+    propagate: str = "incremental", mutable_stats: bool = False,
+    ohem_fraction: float | None = None, aux_weight: float = 0.0,
+):
+    """Clip-unrolled training objective: CE through the cascaded
+    propagation, so incremental (frame-to-frame) warping is *trainable* —
+    the gradient of the annotated frame's loss flows back through every
+    warp/flow/scale application in the chain. This is the objective the
+    reference's incremental eval semantics requires (SURVEY.md §3.3 /
+    Appendix B); pair training (``pair_loss``) only ever supervises a
+    single warp, which round-1 measured to collapse under cascade
+    (mIoU 98 -> 3 at k=5).
+
+    ``batch``: {'clip': (B,F,H,W,3), 'label': (B,F,H,W) int, 255 ignore on
+    every pixel of unannotated frames}. F must be divisible by the model's
+    interval = F (single group) in the intended use.
+    """
+    B, F = batch["clip"].shape[:2]
+    label = batch["label"]
+    if mutable_stats:
+        raise NotImplementedError(
+            "clip objective + running-stat BN: use frozenbn/groupnorm"
+        )
+    logits = clip_logits(model, variables, batch["clip"], F, propagate)
+    hw = label.shape[2:4]
+
+    def frame_ce(lg, lb):  # upsample per frame to bound peak memory
+        return softmax_cross_entropy(
+            resize_bilinear(lg, hw), lb, num_classes, loss_scale, ohem_fraction
+        )
+
+    # mean over frames of per-frame valid-pixel-mean CE; unannotated frames
+    # have zero valid pixels and contribute 0 — normalize by annotated count
+    per_frame = jax.vmap(frame_ce, in_axes=(1, 1))(logits, label)
+    annotated = jax.vmap(
+        lambda lb: jnp.any((lb != 255) & (lb < num_classes)), in_axes=1
+    )(label)
+    loss = per_frame.sum() / jnp.maximum(annotated.sum(), 1)
+    if aux_weight > 0.0:
+        # keep the raw branch outputs strong on the annotated frames
+        flat_frames = batch["clip"].reshape(B * F, *batch["clip"].shape[2:])
+        flat_label = label.reshape(B * F, *label.shape[2:])
+        prop_cur = model.apply(variables, flat_frames, method="ref_propagated")
+        ref_scores = model.apply(
+            variables, prop_cur, method="ref_scores_from_propagated"
+        )
+        # softmax_cross_entropy is a mean over valid pixels, so the flat
+        # (B*F) call is already on the same scale as the clip loss
+        loss = loss + aux_weight * softmax_cross_entropy(
+            resize_bilinear(ref_scores, hw), flat_label, num_classes,
+            loss_scale, ohem_fraction,
+        )
+        if model.family == "accel":
+            upd = model.apply(variables, flat_frames, method="update_scores")
+            loss = loss + aux_weight * softmax_cross_entropy(
+                resize_bilinear(upd, hw), flat_label, num_classes,
+                loss_scale, ohem_fraction,
+            )
+    return loss, None
+
+
 # ---------------------------------------------------------------------------
 # Clip inference
 # ---------------------------------------------------------------------------
+
+
+def _group_step_direct_batched(model, variables, frames_g):
+    """Direct-mode group step with the non-key work batched.
+
+    In direct propagation every non-key frame depends only on the keyframe,
+    so the k-1 FlowNet passes, warps, score heads, update-branch passes and
+    fusions have no sequential dependence — they run as ONE call each at
+    batch B*(k-1) (or B*k for the per-frame update branch) instead of k-1
+    separate batch-B dispatches. Larger batches keep the MXU full; measured
+    on v5e this is the difference between the group being latency-bound and
+    compute-bound at B=1.
+    Numerically identical to the sequential form (same ops, batched).
+    """
+    B, k = frames_g.shape[:2]
+    key_frame = frames_g[:, 0]
+    prop = model.apply(variables, key_frame, method="ref_propagated")
+    key_scores = model.apply(variables, prop, method="ref_scores_from_propagated")
+    if k == 1:
+        ref_all = key_scores[:, None]
+    else:
+        small = model.apply(
+            variables,
+            frames_g.reshape(B * k, *frames_g.shape[2:]),
+            method="downscale_for_flow",
+        )
+        small = small.reshape(B, k, *small.shape[1:])
+        cur_small = small[:, 1:].reshape(B * (k - 1), *small.shape[2:])
+        anchor_small = jnp.repeat(small[:, 0], k - 1, axis=0)
+        flow, scale = model.apply(
+            variables, cur_small, anchor_small, method="flow_pair"
+        )
+        prop_rep = jnp.repeat(prop, k - 1, axis=0)
+        warped = model.apply(variables, prop_rep, flow, scale, method="warp")
+        ref_nonkey = model.apply(
+            variables, warped, method="ref_scores_from_propagated"
+        )
+        ref_all = jnp.concatenate(
+            [key_scores[:, None], ref_nonkey.reshape(B, k - 1, *ref_nonkey.shape[1:])],
+            axis=1,
+        )
+    if model.family != "accel":
+        return ref_all
+    upd = model.apply(
+        variables, frames_g.reshape(B * k, *frames_g.shape[2:]),
+        method="update_scores",
+    )
+    fused = model.apply(
+        variables, ref_all.reshape(B * k, *ref_all.shape[2:]), upd, method="fuse"
+    )
+    return fused.reshape(B, k, *fused.shape[1:])
 
 
 def _group_step(model, variables, frames_g, propagate: str):
@@ -96,8 +209,12 @@ def _group_step(model, variables, frames_g, propagate: str):
 
     Step 0 is the keyframe (reference branch runs); steps 1..k-1 propagate
     by flow-warp. ``propagate``: 'incremental' (anchor = previous frame,
-    Accel) or 'direct' (anchor = keyframe, DFF).
+    Accel) or 'direct' (anchor = keyframe, DFF). Direct mode has no
+    sequential dependence between non-key frames and takes the batched
+    fast path.
     """
+    if propagate == "direct":
+        return _group_step_direct_batched(model, variables, frames_g)
     B, k = frames_g.shape[:2]
     key_frame = frames_g[:, 0]
     prop = model.apply(variables, key_frame, method="ref_propagated")

@@ -87,13 +87,17 @@ def init_train_state(model, variables, tx) -> TrainState:
 def make_train_step(
     model, tx, num_classes: int, loss_scale: float = 1.0, mesh=None,
     mutable_stats: bool | None = None, ohem_fraction: float | None = None,
-    aux_weight: float = 0.0,
+    aux_weight: float = 0.0, objective: str = "pair",
+    propagate: str = "incremental",
 ):
     """Build the jitted train step. With a mesh, batch is data-sharded and
     state replicated; without, plain jit (single device). ``mutable_stats``
     threads BatchNorm running stats through the step (auto-detected from
-    ``model.norm`` when None)."""
-    from accel_tpu.core.pipeline import pair_loss_and_stats
+    ``model.norm`` when None). ``objective``: 'pair' (reference single-warp
+    objective, batch = data/data_ref/eq_flag/label) or 'clip'
+    (cascade-unrolled, batch = clip/label; ``propagate`` selects the
+    cascade mode)."""
+    from accel_tpu.core.pipeline import clip_loss_and_stats, pair_loss_and_stats
 
     if mutable_stats is None:
         mutable_stats = getattr(model, "norm", "frozenbn") == "batchnorm"
@@ -102,6 +106,11 @@ def make_train_step(
         def loss_fn(params):
             variables = dict(state.variables)
             variables["params"] = params
+            if objective == "clip":
+                return clip_loss_and_stats(
+                    model, variables, batch, num_classes, loss_scale,
+                    propagate, mutable_stats, ohem_fraction, aux_weight,
+                )
             return pair_loss_and_stats(
                 model, variables, batch, num_classes, loss_scale, mutable_stats,
                 ohem_fraction, aux_weight,
@@ -161,7 +170,7 @@ def fit(
             if (i + 1) % frequent == 0:
                 loss = float(metrics["loss"])
                 dt = time.time() - t0
-                bsz = batch["data"].shape[0]
+                bsz = (batch["data"] if "data" in batch else batch["clip"]).shape[0]
                 log(
                     f"Epoch[{epoch}] Batch [{i + 1}/{epoch_size}]\t"
                     f"Speed: {n_since * bsz / dt:.2f} samples/sec\t"

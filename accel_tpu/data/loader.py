@@ -127,6 +127,100 @@ class TrainPairLoader:
                 }
 
 
+class TrainClipLoader:
+    """Yields clip batches for the clip-unrolled (cascade) training
+    objective (``core.pipeline.clip_loss_and_stats``): per annotated frame,
+    ``clip_length`` consecutive frames with the keyframe first and the
+    annotated frame at a RANDOM in-clip position per sample, so the loss
+    supervises every keyframe offset 0..k-1 across a batch — the
+    incremental-propagation analog of the pair loader's random offset.
+
+    Batch dict: 'clip' (N,F,H,W,3) f32, 'label' (N,F,H,W) int32 (255
+    everywhere except each clip's annotated frame).
+    """
+
+    def __init__(self, imdb, cfg, shuffle: bool = True, seed: int = 0):
+        self.imdb = imdb
+        self.cfg = cfg
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.batch_size = int(cfg.TRAIN.BATCH_IMAGES)
+        self.clip_length = int(cfg.TRAIN.CLIP_LENGTH)
+        self.crop = tuple(int(x) for x in cfg.TRAIN.CROP_SIZE) if cfg.TRAIN.CROP_SIZE else None
+        self.flip = bool(cfg.TRAIN.FLIP)
+        self.means = np.asarray(cfg.network.PIXEL_MEANS, np.float32)
+        self.stds = np.asarray(cfg.network.PIXEL_STDS, np.float32)
+        self.scales = cfg.get("SCALES")
+        self.entries = [e for e in imdb.segdb if e["annotation"]]
+        self.has_seq = getattr(imdb, "has_sequences", lambda: False)()
+
+    @property
+    def epoch_size(self) -> int:
+        return max(len(self.entries) // self.batch_size, 1)
+
+    def _load_clip(self, entry):
+        from accel_tpu.data.cityscapes import ANNOTATED_FRAME
+
+        k = self.clip_length
+        ann_pos = int(self.rng.integers(0, k))
+        frames = []
+        for i in range(k):
+            fidx = ANNOTATED_FRAME - ann_pos + i
+            im = None
+            if self.has_seq:
+                try:
+                    im = self.imdb.load_image(self.imdb.sequence_frame(entry, fidx))
+                except FileNotFoundError:
+                    im = None
+            if im is None:
+                im = self.imdb.load_image(entry["image"])
+            frames.append(_apply_scales(im, self.scales))
+        label = self.imdb.load_annotation(entry)
+        if label.shape[:2] != frames[0].shape[:2]:
+            label = resize_to(label, *frames[0].shape[:2], interp="nearest")
+        return frames, label, ann_pos
+
+    def _augment(self, frames, label):
+        if self.crop:
+            ch, cw = self.crop
+            h, w = frames[0].shape[:2]
+            if h > ch or w > cw:
+                y0 = int(self.rng.integers(0, max(h - ch, 0) + 1))
+                x0 = int(self.rng.integers(0, max(w - cw, 0) + 1))
+                frames = [f[y0 : y0 + ch, x0 : x0 + cw] for f in frames]
+                label = label[y0 : y0 + ch, x0 : x0 + cw]
+        if self.flip and self.rng.random() < 0.5:
+            frames = [f[:, ::-1] for f in frames]
+            label = label[:, ::-1]
+        return frames, label
+
+    def __iter__(self):
+        while True:
+            order = (
+                self.rng.permutation(len(self.entries))
+                if self.shuffle
+                else np.arange(len(self.entries))
+            )
+            for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                clips, labels = [], []
+                for j in order[i : i + self.batch_size]:
+                    frames, label, ann_pos = self._load_clip(self.entries[j])
+                    frames, label = self._augment(frames, label)
+                    clip = np.stack(
+                        [transform(_pad_to_multiple(f, 128), self.means, self.stds)[0]
+                         for f in frames], 0,
+                    )
+                    lab_full = np.full((len(frames), *clip.shape[1:3]), 255, np.int32)
+                    lab = _pad_to_multiple(label, 128, 255)
+                    lab_full[ann_pos, : lab.shape[0], : lab.shape[1]] = lab
+                    clips.append(clip)
+                    labels.append(lab_full)
+                yield {
+                    "clip": np.stack(clips, 0),
+                    "label": np.stack(labels, 0),
+                }
+
+
 class TestClipLoader:
     """Yields clip batches for video eval.
 

@@ -31,6 +31,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# bf16 peak of the benched chip class (TPU v5e MXU); used for MFU accounting
+PEAK_TFLOPS = {"tpu": 197.0}
+
+
+def _flops_of(fn, *args):
+    """Analytic FLOPs of one call via XLA's HLO cost analysis (no compile)."""
+    try:
+        ca = jax.jit(fn).lower(*args).cost_analysis()
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(prefix: str, fps: float, flops_call, frames_per_call: int, backend: str):
+    """fps + per-call FLOPs -> {tflops_per_frame, tflops_per_sec, mfu}."""
+    if not flops_call or not fps:
+        return {}
+    tpf = flops_call / frames_per_call / 1e12
+    tps = tpf * fps
+    out = {f"{prefix}_tflops_per_frame": round(tpf, 4),
+           f"{prefix}_tflops_per_sec": round(tps, 2)}
+    peak = PEAK_TFLOPS.get(backend)
+    if peak:
+        out[f"{prefix}_mfu"] = round(tps / peak, 4)
+    return out
+
+
 def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool):
     from accel_tpu.models.accel import AccelNet
 
@@ -94,6 +122,34 @@ def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
     return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 
+def measure_streaming(model, H, W, k, rng, n_cycles=4):
+    """Steady-state per-frame fps of the VideoSegmenter push_frame loop
+    (batch 1, direct mode), timing predict + prediction readback per frame.
+    Frames are pre-generated distinct device arrays (tunneled backends
+    dedupe identical dispatches) and device transfer is excluded, matching
+    pred_eval's net-time accounting."""
+    from accel_tpu.core.serving import VideoSegmenter
+
+    variables = _init_variables(model, H, W)
+    seg = VideoSegmenter(model, variables, interval=k)
+    n = k * n_cycles
+    frames = [
+        jax.device_put(
+            jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+        )
+        for _ in range(n)
+    ]
+    jax.block_until_ready(frames)
+    for i in range(k):  # warmup cycle: compiles both programs
+        np.asarray(seg.push_frame(frames[i]))
+    seg.reset()
+    t0 = time.perf_counter()
+    for f in frames:
+        np.asarray(seg.push_frame(f))  # host readback = completion barrier
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
 def main():
     import os
 
@@ -108,10 +164,15 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--interval", type=int, default=5)
-    ap.add_argument("--clip-batch", type=int, default=1)
+    # B=4 is the reported subject: serving batches clips, and the baseline
+    # is batched identically, so the ratio stays apples-to-apples
+    ap.add_argument("--clip-batch", type=int, default=4)
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--with-dff", action="store_true",
                     help="also measure the DFF family (adds ~2 compiles)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="also measure the per-frame VideoSegmenter loop "
+                         "(adds ~2 compiles; latency-bound on tunneled backends)")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -123,17 +184,21 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (not args.no_pallas) and on_tpu
 
-    # ---- baseline: per-frame DeepLab-101 --------------------------------
+    backend = jax.default_backend()
+    B = args.clip_batch
+
+    # ---- baseline: per-frame DeepLab-101, batched like the subject -------
     base_model = _build("deeplab", 101, 0, use_pallas)
     base_vars = _init_variables(base_model, H, W)
-    frame = jnp.asarray(rng.standard_normal((1, H, W, 3)), jnp.float32)
+    frame = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
 
     def per_frame(variables, image):
         logits = base_model.apply(variables, image, method="ref_propagated")
         return jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1).astype(jnp.uint8)
 
     t_base = _slope_time(per_frame, base_vars, frame, verbose=args.verbose)
-    base_fps = 1.0 / t_base
+    base_fps = B / t_base
+    base_flops = _flops_of(per_frame, base_vars, frame)
 
     # ---- subject: Accel-18 clip inference @ interval 5 -------------------
     def measure_clip(model, B):
@@ -144,10 +209,10 @@ def main():
             return clip_predictions(model, variables, clip, k, "direct")
 
         t = _slope_time(run_clip, variables, clip, verbose=args.verbose)
-        return (B * k) / t
+        return (B * k) / t, _flops_of(run_clip, variables, clip)
 
     model = _build("accel", 101, 18, use_pallas)
-    fps = measure_clip(model, args.clip_batch)
+    fps, subj_flops = measure_clip(model, B)
 
     # TPU-optimized variant: update branch at stride 32 / 256-wide head,
     # quarter-res half-width FlowNet (accuracy unvalidated; extra metric)
@@ -161,14 +226,14 @@ def main():
         flow_input_downscale=4, flow_width_mult=0.5,
     )
     try:
-        fast_fps = measure_clip(fast_model, args.clip_batch)
+        fast_fps, fast_flops = measure_clip(fast_model, B)
     except Exception:
-        fast_fps = None
+        fast_fps = fast_flops = None
 
     # DFF family (keyframe fc6 features warped forward, no update branch);
     # off by default to bound the driver's bench wall-time (r1 measured:
     # 252-306 fps = 3.1-3.6x baseline)
-    dff_fps = None
+    dff_fps = dff_flops = None
     if args.with_dff:
         dff_model = AccelNet(
             family="dff", ref_depth=101, num_classes=19, feat_stride=16,
@@ -176,25 +241,40 @@ def main():
             warp_max_disp=16, flow_input_downscale=4, flow_width_mult=0.5,
         )
         try:
-            dff_fps = measure_clip(dff_model, args.clip_batch)
+            dff_fps, dff_flops = measure_clip(dff_model, B)
         except Exception:
             dff_fps = None
+
+    # ---- streaming: per-frame VideoSegmenter loop (the reference's
+    # pred_eval protocol; includes per-frame dispatch + prediction readback)
+    stream_fps = None
+    if args.streaming:
+        try:
+            stream_fps = measure_streaming(model, H, W, k, rng)
+        except Exception:
+            stream_fps = None
 
     print(
         json.dumps(
             {
-                "metric": f"accel18_fps_per_chip_k{k}_{H}x{W}",
+                "metric": f"accel18_fps_per_chip_k{k}_{H}x{W}_B{B}",
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / base_fps, 3),
                 "baseline_deeplab101_fps": round(base_fps, 3),
+                **_mfu_fields("baseline", base_fps, base_flops, B, backend),
+                **_mfu_fields("accel18", fps, subj_flops, B * k, backend),
                 **({"accel18_fast_fps": round(fast_fps, 3),
-                    "accel18_fast_vs_baseline": round(fast_fps / base_fps, 3)}
+                    "accel18_fast_vs_baseline": round(fast_fps / base_fps, 3),
+                    **_mfu_fields("accel18_fast", fast_fps, fast_flops, B * k, backend)}
                    if fast_fps else {}),
                 **({"dff_fps": round(dff_fps, 3),
-                    "dff_vs_baseline": round(dff_fps / base_fps, 3)}
+                    "dff_vs_baseline": round(dff_fps / base_fps, 3),
+                    **_mfu_fields("dff", dff_fps, dff_flops, B * k, backend)}
                    if dff_fps else {}),
-                "backend": jax.default_backend(),
+                **({"streaming_fps": round(stream_fps, 3)} if stream_fps else {}),
+                "clip_batch": B,
+                "backend": backend,
                 "pallas_warp": use_pallas,
             }
         )

@@ -46,7 +46,7 @@ def main():
         make_optimizer,
         make_train_step,
     )
-    from accel_tpu.data.loader import TrainPairLoader
+    from accel_tpu.data.loader import TrainClipLoader, TrainPairLoader
     from accel_tpu.data.prefetch import PrefetchingIter
     from accel_tpu.models.accel import build_model
     from accel_tpu.parallel.mesh import mesh_from_cfg, replicated, shard_batch
@@ -68,7 +68,10 @@ def main():
 
         imdb = CamVid(cfg.dataset.image_set, cfg.dataset.root_path, cfg.dataset.dataset_path)
 
-    loader = TrainPairLoader(imdb, cfg)
+    objective = str(cfg.TRAIN.objective)
+    loader = (
+        TrainClipLoader(imdb, cfg) if objective == "clip" else TrainPairLoader(imdb, cfg)
+    )
     epoch_size = loader.epoch_size
 
     # model + state
@@ -110,6 +113,7 @@ def main():
     step = make_train_step(
         model, tx, int(cfg.dataset.NUM_CLASSES), float(cfg.TRAIN.loss_scale), mesh,
         ohem_fraction=ohem, aux_weight=float(cfg.TRAIN.aux_loss_weight),
+        objective=objective, propagate=str(cfg.network.propagate),
     )
     data_iter = PrefetchingIter(
         iter(loader), depth=int(cfg.tpu.prefetch_depth),

@@ -162,3 +162,23 @@ def test_prefetching_iter_propagates_error():
     assert next(it) == 1
     with pytest.raises(ValueError):
         next(it)
+
+
+def test_train_clip_loader(cityscapes_fixture):
+    from accel_tpu.data.loader import TrainClipLoader
+
+    root, data = cityscapes_fixture
+    ds = Cityscape("leftImg8bit_val", root, data)
+    cfg = default_config()
+    cfg.SCALES = [[128, 256]]
+    cfg.TRAIN.BATCH_IMAGES = 2
+    cfg.TRAIN.CLIP_LENGTH = 4
+    cfg.TRAIN.CROP_SIZE = [128, 128]
+    loader = TrainClipLoader(ds, cfg, seed=3)
+    batch = next(iter(loader))
+    assert batch["clip"].shape == (2, 4, 128, 128, 3)
+    assert batch["label"].shape == (2, 4, 128, 128)
+    assert batch["clip"].dtype == np.float32
+    for b in range(2):
+        ann_frames = [(batch["label"][b, f] != 255).any() for f in range(4)]
+        assert sum(ann_frames) == 1, "exactly one annotated frame per clip"

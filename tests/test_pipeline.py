@@ -139,3 +139,72 @@ def test_nearest_pred_upsample_mode(tiny_accel):
     # disagree often; just check substantial overlap + mechanics (trained
     # models agree away from class boundaries)
     assert (np.asarray(fast) == np.asarray(ref)).mean() > 0.5
+
+
+def test_clip_loss_grad_flows_through_cascade(tiny_accel):
+    """Clip-unrolled objective (VERDICT r1 #5): the annotated frame's CE
+    must backprop through the cascaded warps — nonzero flow-head gradients
+    even when only the LAST frame of the clip carries labels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accel_tpu.core.pipeline import clip_loss_and_stats
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(0)
+    B, F, H, W = 1, 3, 128, 128
+    clip = jnp.asarray(rng.standard_normal((B, F, H, W, 3)), jnp.float32) * 0.3
+    label = np.full((B, F, H, W), 255, np.int32)
+    label[:, -1] = rng.integers(0, 19, (B, H, W))
+    batch = {"clip": clip, "label": jnp.asarray(label)}
+
+    def loss_fn(params):
+        v = dict(variables)
+        v["params"] = params
+        return clip_loss_and_stats(m, v, batch, 19, propagate="incremental")[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flow_g = grads["flownet"]
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(flow_g))
+    assert gnorm > 0, "no gradient reached the flow network through the cascade"
+    upd_g = grads["update_net"]
+    assert sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(upd_g)) > 0
+
+
+def test_clip_objective_train_step(tiny_accel):
+    """One train step with objective='clip' on a TrainClipLoader-shaped
+    batch runs and updates params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accel_tpu.config import default_config
+    from accel_tpu.core.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    m, variables = tiny_accel
+    cfg = default_config()
+    tx, _ = make_optimizer(cfg, 10)
+    state = init_train_state(m, variables, tx)
+    step = make_train_step(
+        m, tx, 19, objective="clip", propagate="incremental", aux_weight=0.25
+    )
+    rng = np.random.default_rng(1)
+    label = np.full((1, 3, 128, 128), 255, np.int32)
+    label[:, 1] = rng.integers(0, 19, (1, 128, 128))
+    batch = {
+        "clip": jnp.asarray(rng.standard_normal((1, 3, 128, 128, 3)), jnp.float32),
+        "label": jnp.asarray(label),
+    }
+    before = [np.asarray(x).copy()
+              for x in jax.tree.leaves(state.variables["params"]["flownet"])]
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = jax.tree.leaves(new_state.variables["params"]["flownet"])
+    moved = sum(float(np.abs(np.asarray(a) - b).max()) for a, b in zip(after, before))
+    assert moved > 0
