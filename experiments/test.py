@@ -25,6 +25,12 @@ def parse_args():
     p.add_argument("--interval", type=int, default=None, help="override KEY_FRAME_INTERVAL")
     p.add_argument("--sweep", default=None,
                    help="csv of intervals to evaluate (reference-style interval sweep)")
+    p.add_argument("--propagate", default=None, choices=["direct", "incremental"],
+                   help="override cfg.network.propagate for this eval")
+    p.add_argument("--offset-sweep", action="store_true",
+                   help="evaluate every annotated-frame offset 0..k-1 after "
+                        "the keyframe (paper's mIoU-vs-offset curve, "
+                        "SURVEY.md Appendix B)")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--random-weights", action="store_true",
                    help="skip checkpoint restore (pipeline smoke / timing)")
@@ -94,27 +100,35 @@ def main():
         else:
             logger.info("no checkpoint found — using random weights")
 
-    propagate = str(cfg.network.propagate)
+    propagate = args.propagate or str(cfg.network.propagate)
     intervals = (
         [int(x) for x in args.sweep.split(",")]
         if args.sweep else [int(cfg.TEST.KEY_FRAME_INTERVAL)]
     )
     for interval in intervals:
         cfg.TEST.KEY_FRAME_INTERVAL = interval
-        loader = TestClipLoader(
-            imdb, cfg, batch_clips=int(cfg.TEST.BATCH_IMAGES), max_items=args.max_items
+        offsets = (
+            list(range(interval))  # ann_pos = interval-1-key_offset sweeps k-1..0
+            if args.offset_sweep else [int(cfg.TEST.KEY_FRAME_OFFSET)]
         )
-        miou, iou, stats = pred_eval_clips(
-            model, variables, PrefetchingIter(iter(loader)),
-            int(cfg.dataset.NUM_CLASSES), interval, propagate, logger,
-            upsample=str(cfg.TEST.upsample),
-        )
-        if len(intervals) == 1:
-            for n, v in zip(imdb.class_names, iou):
-                logger.info(f"{n:20s} IU {v * 100:6.2f}")
-        logger.info(
-            f"interval {interval}: meanIU {miou * 100:.2f}  fps {stats['fps']:.2f}"
-        )
+        for key_offset in offsets:
+            cfg.TEST.KEY_FRAME_OFFSET = key_offset
+            loader = TestClipLoader(
+                imdb, cfg, batch_clips=int(cfg.TEST.BATCH_IMAGES),
+                max_items=args.max_items,
+            )
+            miou, iou, stats = pred_eval_clips(
+                model, variables, PrefetchingIter(iter(loader)),
+                int(cfg.dataset.NUM_CLASSES), interval, propagate, logger,
+                upsample=str(cfg.TEST.upsample),
+            )
+            if len(intervals) == 1 and len(offsets) == 1:
+                for n, v in zip(imdb.class_names, iou):
+                    logger.info(f"{n:20s} IU {v * 100:6.2f}")
+            logger.info(
+                f"interval {interval} offset {loader.ann_pos}: "
+                f"meanIU {miou * 100:.2f}  fps {stats['fps']:.2f}"
+            )
 
 
 if __name__ == "__main__":

@@ -3,8 +3,21 @@
 demos, and CI on machines without the real data; SURVEY.md §4 fixture
 strategy).
 
+Two styles:
+
+- ``bands`` — three colored horizontal bands, global translation. Trivially
+  separable (round-1 models hit 99.8 mIoU); kept for smoke tests.
+- ``hard`` — the discriminative accuracy protocol (VERDICT r1 #6): 10
+  classes, per-class procedural *texture* (overlapping color statistics, so
+  color alone can't separate them), multiple independently-moving occluding
+  objects over a panning background, per-frame lighting flicker. Designed
+  so val mIoU lands mid-range (60-90) and degrades with keyframe offset —
+  mIoU-vs-offset curves (paper protocol, SURVEY.md Appendix B) become
+  informative instead of ceiling-saturated.
+
 Usage: python tools/make_synthetic_dataset.py --out /tmp/cs_synth \
-           [--snippets 4] [--height 256] [--width 512] [--split train]
+           [--style hard] [--snippets 4] [--height 256] [--width 512] \
+           [--splits train,val]
 """
 
 from __future__ import annotations
@@ -59,21 +72,144 @@ def write_snippet(data_dir, split, city, seq, H, W, rng, seq_frames=8):
         )
 
 
+# ---------------------------------------------------------------------------
+# hard style
+# ---------------------------------------------------------------------------
+
+# (cityscapes labelId, base BGR color, texture frequency cycles/px, orientation)
+# Colors deliberately overlap between classes — the separating signal is the
+# texture (frequency/orientation), which needs real receptive fields.
+_HARD_CLASSES = [
+    (23, (170, 120, 80), 0.02, 0.0),    # sky        — low-freq horizontal
+    (11, (100, 100, 110), 0.12, 0.0),   # building   — brick-ish horizontal
+    (7, (95, 95, 95), 0.05, 1.57),      # road       — near building color!
+    (21, (60, 140, 60), 0.18, 0.8),     # vegetation — high freq diagonal
+    (26, (90, 90, 160), 0.10, 1.57),    # car        — vertical stripes
+    (24, (80, 90, 150), 0.22, 0.4),     # person     — near car color!
+    (17, (120, 120, 120), 0.30, 1.57),  # pole       — fine vertical
+    (20, (100, 160, 160), 0.15, 2.2),   # traffic sign
+    (28, (110, 85, 150), 0.07, 0.9),    # bus        — near car/person hue
+    (33, (70, 110, 110), 0.26, 1.9),    # bicycle
+]
+
+
+def _texture(cls_idx, yy, xx, phase, H):
+    """Procedural class texture: oriented sinusoid grating in [0, 1]."""
+    _, _, freq, theta = _HARD_CLASSES[cls_idx]
+    u = np.cos(theta) * xx + np.sin(theta) * yy
+    v = -np.sin(theta) * xx + np.cos(theta) * yy
+    g = 0.5 + 0.35 * np.sin(2 * np.pi * freq * u + phase)
+    g += 0.15 * np.sin(2 * np.pi * freq * 2.7 * v + 1.3 * phase)
+    return g
+
+
+def _render_hard(H, W, objects, bg_rows, t, rng, flicker):
+    """Render frame at time offset ``t`` (0 = annotated frame). Returns
+    (image uint8 BGR, label uint8 labelIds). Objects move independently and
+    occlude in z-order; background pans horizontally."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.zeros((H, W, 3), np.float32)
+    lab = np.zeros((H, W), np.uint8)
+
+    # background: 3 panning textured bands (sky / building / road)
+    bg_shift = 1.5 * t
+    for (cls_idx, y0, y1) in bg_rows:
+        labelid, color, _, _ = _HARD_CLASSES[cls_idx]
+        g = _texture(cls_idx, yy[y0:y1], xx[y0:y1] + bg_shift, 0.0, H)
+        img[y0:y1] = np.asarray(color, np.float32) * g[..., None]
+        lab[y0:y1] = labelid
+
+    # objects: back-to-front
+    for ob in objects:
+        cls_idx = ob["cls"]
+        labelid, color, _, _ = _HARD_CLASSES[cls_idx]
+        cy = ob["cy"] + ob["vy"] * t
+        cx = ob["cx"] + ob["vx"] * t
+        if ob["shape"] == "ellipse":
+            mask = ((yy - cy) / ob["ry"]) ** 2 + ((xx - cx) / ob["rx"]) ** 2 <= 1.0
+        else:
+            mask = (np.abs(yy - cy) <= ob["ry"]) & (np.abs(xx - cx) <= ob["rx"])
+        # texture in OBJECT coordinates so it translates rigidly with the
+        # object (warpable by flow) rather than shimmering in place
+        g = _texture(cls_idx, yy - cy, xx - cx, ob["phase"], H)
+        img[mask] = (np.asarray(color, np.float32) * g[..., None])[mask]
+        lab[mask] = labelid
+
+    # lighting flicker + sensor noise (stresses propagation + update branch)
+    gain = 1.0 + flicker * t
+    img = img * gain + rng.normal(0, 8, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8), lab
+
+
+def write_snippet_hard(data_dir, split, city, seq, H, W, rng, seq_frames=10):
+    import cv2
+
+    from accel_tpu.data.cityscapes import ANNOTATED_FRAME
+
+    def put(path, arr):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        assert cv2.imwrite(path, arr)
+
+    # background bands: sky / building / road with a jittered horizon
+    h1 = int(H * rng.uniform(0.2, 0.35))
+    h2 = int(H * rng.uniform(0.55, 0.75))
+    bg_rows = [(0, 0, h1), (1, h1, h2), (2, h2, H)]
+
+    n_obj = int(rng.integers(6, 11))
+    objects = []
+    for _ in range(n_obj):
+        cls_idx = int(rng.integers(3, len(_HARD_CLASSES)))  # fg classes
+        objects.append(
+            {
+                "cls": cls_idx,
+                "cy": float(rng.uniform(0.15 * H, 0.9 * H)),
+                "cx": float(rng.uniform(0.1 * W, 0.9 * W)),
+                "ry": float(rng.uniform(H / 14, H / 4)),
+                "rx": float(rng.uniform(W / 24, W / 6)),
+                # up to ~4 px/frame — at keyframe offset 4 that is a 16 px
+                # displacement, well past trivial warp slack
+                "vy": float(rng.uniform(-2.5, 2.5)),
+                "vx": float(rng.uniform(-4.0, 4.0)),
+                "phase": float(rng.uniform(0, 6.28)),
+                "shape": "ellipse" if rng.random() < 0.5 else "box",
+            }
+        )
+    flicker = float(rng.uniform(-0.02, 0.02))
+
+    name = f"{city}_{seq:06d}_{ANNOTATED_FRAME:06d}"
+    img0, lab0 = _render_hard(H, W, objects, bg_rows, 0, rng, flicker)
+    put(os.path.join(data_dir, "leftImg8bit", split, city, f"{name}_leftImg8bit.png"), img0)
+    put(os.path.join(data_dir, "gtFine", split, city, f"{name}_gtFine_labelIds.png"), lab0)
+    for i in range(seq_frames):
+        fidx = ANNOTATED_FRAME - (seq_frames - 2) + i
+        frame, _ = _render_hard(H, W, objects, bg_rows, fidx - ANNOTATED_FRAME, rng, flicker)
+        sname = f"{city}_{seq:06d}_{fidx:06d}"
+        put(
+            os.path.join(
+                data_dir, "leftImg8bit_sequence", split, city, f"{sname}_leftImg8bit.png"
+            ),
+            frame,
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
+    ap.add_argument("--style", choices=["bands", "hard"], default="bands")
     ap.add_argument("--snippets", type=int, default=4)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--splits", default="train,val")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(args.seed)
     data_dir = os.path.join(args.out, "cityscapes")
+    writer = write_snippet_hard if args.style == "hard" else write_snippet
     for split in args.splits.split(","):
         for s in range(args.snippets):
-            write_snippet(data_dir, split, "synthcity", s, args.height, args.width, rng)
-    print(f"synthetic cityscapes tree at {data_dir}")
+            writer(data_dir, split, "synthcity", s, args.height, args.width, rng)
+    print(f"synthetic cityscapes tree ({args.style}) at {data_dir}")
 
 
 if __name__ == "__main__":
