@@ -59,7 +59,8 @@ def _mfu_fields(prefix: str, fps: float, flops_call, frames_per_call: int, backe
     return out
 
 
-def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool):
+def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool,
+           feat_stride: int = 16):
     from accel_tpu.models.accel import AccelNet
 
     return AccelNet(
@@ -67,7 +68,7 @@ def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool):
         ref_depth=ref_depth,
         update_depth=update_depth,
         num_classes=19,
-        feat_stride=16,
+        feat_stride=feat_stride,
         head_channels=1024,
         head_dilation=6,
         dtype=jnp.bfloat16,
@@ -167,6 +168,9 @@ def main():
     # B=4 is the reported subject: serving batches clips, and the baseline
     # is batched identically, so the ratio stays apples-to-apples
     ap.add_argument("--clip-batch", type=int, default=4)
+    ap.add_argument("--feat-stride", type=int, default=16,
+                    help="backbone output stride for baseline+subject "
+                         "(8 = the dilated os8 ladder)")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--with-dff", action="store_true",
                     help="also measure the DFF family (adds ~2 compiles)")
@@ -188,7 +192,7 @@ def main():
     B = args.clip_batch
 
     # ---- baseline: per-frame DeepLab-101, batched like the subject -------
-    base_model = _build("deeplab", 101, 0, use_pallas)
+    base_model = _build("deeplab", 101, 0, use_pallas, args.feat_stride)
     base_vars = _init_variables(base_model, H, W)
     frame = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
 
@@ -211,7 +215,7 @@ def main():
         t = _slope_time(run_clip, variables, clip, verbose=args.verbose)
         return (B * k) / t, _flops_of(run_clip, variables, clip)
 
-    model = _build("accel", 101, 18, use_pallas)
+    model = _build("accel", 101, 18, use_pallas, args.feat_stride)
     fps, subj_flops = measure_clip(model, B)
 
     # TPU-optimized variant: update branch at stride 32 / 256-wide head,

@@ -188,6 +188,9 @@ def test_clip_objective_train_step(tiny_accel):
     )
 
     m, variables = tiny_accel
+    # deep-copy: the train step donates its input state's buffers, and the
+    # fixture is session-scoped
+    variables = jax.tree.map(jnp.array, variables)
     cfg = default_config()
     tx, _ = make_optimizer(cfg, 10)
     state = init_train_state(m, variables, tx)

@@ -95,6 +95,9 @@ def test_train_from_pretrained_with_frozen_stages(tiny_accel, tmp_path):
     )
 
     m, variables = tiny_accel
+    # deep-copy: the train step below donates its input state's buffers,
+    # and the fixture is session-scoped
+    variables = jax.tree.map(jnp.array, variables)
     rng = np.random.default_rng(1)
 
     conv1_tgt = _find(variables["params"], ("ref_net", "backbone", "conv1", "kernel"))
