@@ -167,7 +167,9 @@ def fit(
         for i, batch in zip(range(epoch_size), data_iter):
             state, metrics = train_step(state, batch)
             n_since += 1
-            if (i + 1) % frequent == 0:
+            # also log at epoch end: epochs smaller than `frequent` would
+            # otherwise never produce a Speedometer line or metrics row
+            if (i + 1) % frequent == 0 or (i + 1) == epoch_size:
                 loss = float(metrics["loss"])
                 dt = time.time() - t0
                 bsz = (batch["data"] if "data" in batch else batch["clip"]).shape[0]

@@ -36,7 +36,9 @@ def setup_compile_cache(base: str | None = None) -> str:
     path = os.environ.get("JAX_CACHE_DIR")
     if not path:
         base = base or "/tmp/jax_cache"
-        path = f"{base}_{platform.machine()}_{_host_fingerprint()}"
+        # v2: abandons dirs that may hold CPU AOT entries written before
+        # host_init started bypassing the cache (their reload always warns)
+        path = f"{base}_v2_{platform.machine()}_{_host_fingerprint()}"
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

@@ -182,3 +182,28 @@ def test_train_clip_loader(cityscapes_fixture):
     for b in range(2):
         ann_frames = [(batch["label"][b, f] != 255).any() for f in range(4)]
         assert sum(ann_frames) == 1, "exactly one annotated frame per clip"
+
+
+def test_generator_covers_post_annotated_frames(tmp_path):
+    """The synthetic generator must write sequence frames THROUGH
+    annotated+k-1: clip training with ann_pos < k-1 and the offset sweep
+    with offset < k-1 place clip frames after the annotated one (real
+    Cityscapes snippets run to annotated+9). A missing frame silently
+    degrades to a static fallback, corrupting cascade supervision."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import make_synthetic_dataset as gen
+
+    rng = np.random.default_rng(0)
+    for writer, style in ((gen.write_snippet, "bands"),
+                          (gen.write_snippet_hard, "hard")):
+        out = str(tmp_path / style)
+        writer(out, "train", "c", 0, 64, 128, rng)
+        seq_dir = os.path.join(out, "leftImg8bit_sequence", "train", "c")
+        frames = sorted(int(f.split("_")[2]) for f in os.listdir(seq_dir))
+        assert min(frames) <= ANNOTATED_FRAME - 4
+        assert max(frames) >= ANNOTATED_FRAME + 4, (
+            f"{style}: sequence ends at {max(frames)}; offset-0 eval needs "
+            f"frames through {ANNOTATED_FRAME + 4}"
+        )

@@ -31,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def write_snippet(data_dir, split, city, seq, H, W, rng, seq_frames=8):
+def write_snippet(data_dir, split, city, seq, H, W, rng, back=8, fwd=5):
     import cv2
 
     from accel_tpu.data.cityscapes import ANNOTATED_FRAME
@@ -60,8 +60,10 @@ def write_snippet(data_dir, split, city, seq, H, W, rng, seq_frames=8):
     lab[2 * H // 3 :] = 26  # car
     put(os.path.join(data_dir, "gtFine", split, city, f"{name}_gtFine_labelIds.png"), lab)
     # sequence frames around the annotated one (simple translating motion)
-    for i in range(seq_frames):
-        fidx = ANNOTATED_FRAME - (seq_frames - 2) + i
+    # cover [ANNOTATED-back, ANNOTATED+fwd]: clip sampling and the offset
+    # sweep place clips up to k-1 frames AFTER the annotated one (real
+    # Cityscapes snippets run to frame 29, i.e. annotated+9)
+    for fidx in range(ANNOTATED_FRAME - back, ANNOTATED_FRAME + fwd + 1):
         sname = f"{city}_{seq:06d}_{fidx:06d}"
         frame = np.roll(base, shift=2 * (fidx - ANNOTATED_FRAME), axis=1)
         put(
@@ -141,7 +143,7 @@ def _render_hard(H, W, objects, bg_rows, t, rng, flicker):
     return np.clip(img, 0, 255).astype(np.uint8), lab
 
 
-def write_snippet_hard(data_dir, split, city, seq, H, W, rng, seq_frames=10):
+def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=8, fwd=5):
     import cv2
 
     from accel_tpu.data.cityscapes import ANNOTATED_FRAME
@@ -180,8 +182,7 @@ def write_snippet_hard(data_dir, split, city, seq, H, W, rng, seq_frames=10):
     img0, lab0 = _render_hard(H, W, objects, bg_rows, 0, rng, flicker)
     put(os.path.join(data_dir, "leftImg8bit", split, city, f"{name}_leftImg8bit.png"), img0)
     put(os.path.join(data_dir, "gtFine", split, city, f"{name}_gtFine_labelIds.png"), lab0)
-    for i in range(seq_frames):
-        fidx = ANNOTATED_FRAME - (seq_frames - 2) + i
+    for fidx in range(ANNOTATED_FRAME - back, ANNOTATED_FRAME + fwd + 1):
         frame, _ = _render_hard(H, W, objects, bg_rows, fidx - ANNOTATED_FRAME, rng, flicker)
         sname = f"{city}_{seq:06d}_{fidx:06d}"
         put(
