@@ -54,6 +54,12 @@ def make_defaults() -> Config:
                 "propagate": "direct",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
+                # 'mean1' pins the scale field's degenerate global gain
+                # (from-scratch default; measured: unpinned gain drifts to
+                # ~3.2 and miscalibrates the un-warped keyframe/eq path
+                # through the shared head — offset-0 mIoU 42.9 vs 80.0).
+                # Set 'none' for reference-weight parity (raw DFF field).
+                "scale_field_norm": "mean1",
                 # norm layer: 'frozenbn' (reference behavior, for pretrained
                 # stats), 'batchnorm', or 'groupnorm' (from-scratch default)
                 "norm": "groupnorm",

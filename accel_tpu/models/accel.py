@@ -68,6 +68,16 @@ class AccelNet(nn.Module):
     # stem: 'conv7' (measured faster on v5e; XLA lowers the 7x7/2 stem
     # well) | 's2d' (exact space-to-depth reparametrization, optional)
     stem: str = "conv7"
+    # scale-field calibration: 'none' (reference semantics — raw scale
+    # field, required for reference-weight parity) | 'mean1' (divide by the
+    # per-sample mean magnitude). The global gain of the DFF scale field is
+    # a degenerate direction: the shared score head / fusion calibrates to
+    # gain-scaled warped inputs, and the UNSCALED keyframe/eq path through
+    # the same head is then miscalibrated by that factor. Measured on the
+    # hard-synth pair recipe: learned mean 3.25 -> offset-0/interval-1 mIoU
+    # cliff (42.9 vs 80.0 warped); 'mean1' keeps DFF's per-pixel relative
+    # modulation while pinning the gain.
+    scale_field_norm: str = "none"
 
     @property
     def warp_tensor(self) -> str:
@@ -176,6 +186,9 @@ class AccelNet(nn.Module):
             use_pallas=self.use_pallas_warp, max_disp=self.warp_max_disp,
         )
         if self.use_scale_field:
+            if self.scale_field_norm == "mean1":
+                m = jnp.mean(scale, axis=(1, 2, 3), keepdims=True)
+                scale = scale / (jnp.abs(m) + 1e-6)
             warped = warped * scale
         return warped
 
@@ -237,4 +250,5 @@ def build_model(cfg) -> AccelNet:
         update_input_downscale=int(net.get("update_input_downscale", 1) or 1),
         flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
         stem=str(net.get("stem", "s2d")),
+        scale_field_norm=str(net.get("scale_field_norm", "none") or "none"),
     )

@@ -211,3 +211,30 @@ def test_clip_objective_train_step(tiny_accel):
     after = jax.tree.leaves(new_state.variables["params"]["flownet"])
     moved = sum(float(np.abs(np.asarray(a) - b).max()) for a, b in zip(after, before))
     assert moved > 0
+
+
+def test_scale_field_mean1_gain_invariance(tiny_accel):
+    """scale_field_norm='mean1' makes the warp invariant to the scale
+    field's global gain — the degenerate direction that miscalibrates the
+    un-warped keyframe/eq path through the shared head (offset-0 cliff,
+    see BASELINE.md hard-synth findings)."""
+    from accel_tpu.models.accel import AccelNet
+
+    m, variables = tiny_accel
+    m1 = AccelNet(
+        family="accel", ref_depth=18, update_depth=18, num_classes=19,
+        feat_stride=16, head_channels=32, dtype=jnp.float32,
+        use_pallas_warp=False, scale_field_norm="mean1",
+    )
+    rng = jax.random.PRNGKey(0)
+    prop = jax.random.normal(rng, (1, 8, 8, 19))
+    flow = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 2)) * 0.5
+    scale = 1.0 + 0.3 * jax.random.normal(jax.random.PRNGKey(2), (1, 8, 8, 19))
+
+    out_a = m1.apply(variables, prop, flow, scale, method="warp")
+    out_b = m1.apply(variables, prop, flow, scale * 7.3, method="warp")
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-4)
+    # and the raw ('none') semantics are gain-covariant, as in the reference
+    out_c = m.apply(variables, prop, flow, scale, method="warp")
+    out_d = m.apply(variables, prop, flow, scale * 7.3, method="warp")
+    assert np.abs(np.asarray(out_d) - 7.3 * np.asarray(out_c)).max() < 1e-3
