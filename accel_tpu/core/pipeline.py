@@ -298,10 +298,14 @@ def clip_predictions(
 
     ``upsample='bilinear_logits'`` matches the reference eval protocol:
     bilinear-upsample the 19-channel logits to input resolution, then argmax
-    (SURVEY.md §3.3 step 7). ``'nearest_pred'`` argmaxes at stride
-    resolution and nearest-upsamples the class map — cheaper (no full-res
-    19-channel tensor) with a small boundary-pixel mIoU cost; a serving
-    knob, not the eval default.
+    (SURVEY.md §3.3 step 7) — served by the fused Pallas kernel
+    (`ops/upsample_argmax`) when shapes allow, which computes the same
+    bilinear interpolation (weights extracted from resize itself, f32
+    accumulation) without materializing the full-res 19-channel tensor.
+    ``'bilinear_logits_xla'`` forces the materializing oracle.
+    ``'nearest_pred'`` argmaxes at stride resolution and nearest-upsamples
+    the class map — cheaper with a small boundary-pixel mIoU cost; a
+    serving knob, not the eval default.
     """
     logits = clip_logits(model, variables, clip, interval, propagate)
     B, F = logits.shape[:2]
@@ -314,6 +318,12 @@ def clip_predictions(
         h, w = pred.shape[2:]
         pred = jnp.repeat(jnp.repeat(pred, H // h, axis=2), W // w, axis=3)
         return pred
+
+    if upsample == "bilinear_logits" and H % 128 == 0 and W % 128 == 0:
+        from accel_tpu.ops.upsample_argmax import upsample_argmax
+
+        flat = logits.reshape(B * F, *logits.shape[2:])
+        return upsample_argmax(flat, (H, W)).reshape(B, F, H, W)
 
     def up_argmax(lg):  # (B, h, w, C) one frame at a time to bound memory
         return jnp.argmax(resize_bilinear(lg, (H, W)), axis=-1).astype(jnp.uint8)

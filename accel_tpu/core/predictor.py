@@ -99,9 +99,13 @@ def make_key_cur_predictors(
     from accel_tpu.ops.upsample import resize_bilinear
 
     def _pred_from_scores(scores, hw):
-        if full_res_pred:
-            scores = resize_bilinear(scores, hw)
-        return jnp.argmax(scores, -1).astype(jnp.uint8)
+        if not full_res_pred:
+            return jnp.argmax(scores, -1).astype(jnp.uint8)
+        if hw[0] % 128 == 0 and hw[1] % 128 == 0:
+            from accel_tpu.ops.upsample_argmax import upsample_argmax
+
+            return upsample_argmax(scores, tuple(hw))
+        return jnp.argmax(resize_bilinear(scores, hw), -1).astype(jnp.uint8)
 
     def key_fn(v, image):
         prop = model.apply(v, image, method="ref_propagated")

@@ -213,7 +213,13 @@ def main():
     frame = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
 
     def per_frame(variables, image):
+        # same fused upsample+argmax serving tail as the subject
+        # (clip_predictions dispatches identically) — apples-to-apples
         logits = base_model.apply(variables, image, method="ref_propagated")
+        if H % 128 == 0 and W % 128 == 0:
+            from accel_tpu.ops.upsample_argmax import upsample_argmax
+
+            return upsample_argmax(logits, (H, W))
         return jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1).astype(jnp.uint8)
 
     t_base = _slope_time(per_frame, base_vars, frame, verbose=args.verbose)
