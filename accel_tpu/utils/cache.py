@@ -30,15 +30,25 @@ def _host_fingerprint() -> str:
 
 def setup_compile_cache(base: str | None = None) -> str:
     """Point jax's persistent compile cache at a host-keyed directory.
-    ``JAX_CACHE_DIR`` overrides entirely (caller opts out of keying)."""
+    ``JAX_CACHE_DIR`` overrides entirely (caller opts out of keying).
+
+    TPU backends only: XLA:CPU AOT executables embed tuning pseudo-features
+    (+prefer-no-gather/-scatter) that never appear in the raw host feature
+    list, so *reloading* a cached CPU executable warns about machine-feature
+    mismatch / SIGILL even on the host that compiled it. CPU runs (tests,
+    ACCEL_PLATFORM=cpu) therefore get no persistent cache at all — and TPU
+    processes must avoid persisting their own CPU-backend compiles (see
+    ``utils/host_init``)."""
     import jax
 
+    if jax.default_backend() != "tpu":
+        return ""
     path = os.environ.get("JAX_CACHE_DIR")
     if not path:
         base = base or "/tmp/jax_cache"
-        # v2: abandons dirs that may hold CPU AOT entries written before
-        # host_init started bypassing the cache (their reload always warns)
-        path = f"{base}_v2_{platform.machine()}_{_host_fingerprint()}"
+        # v3: abandons dirs holding CPU AOT entries written before the
+        # tpu-only gate (their reload always warns, even same-host)
+        path = f"{base}_v3_{platform.machine()}_{_host_fingerprint()}"
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

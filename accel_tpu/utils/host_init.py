@@ -14,19 +14,21 @@ import jax
 def host_init(model, *init_args, seed: int = 0, **init_kwargs):
     """model.init on the CPU backend, then device_put to the default device.
 
-    The persistent compile cache is suspended for the init: XLA:CPU AOT
-    results record tuning pseudo-features (+prefer-no-gather/-scatter) that
-    never match the raw host feature list, so *reloading* any cached CPU
-    executable spews machine-feature/SIGILL warnings even on the compiling
-    host. Init programs are one-shot per process anyway — caching them buys
-    nothing and poisons every later run's logs."""
-    cache_dir = None
+    Persisting these CPU-backend compiles is blocked for the init: XLA:CPU
+    AOT results record tuning pseudo-features (+prefer-no-gather/-scatter)
+    that never match the raw host feature list, so *reloading* any cached
+    CPU executable spews machine-feature/SIGILL warnings even on the
+    compiling host. Init programs are one-shot per process anyway. The
+    block raises ``jax_persistent_cache_min_compile_time_secs`` (read
+    dynamically at cache-put time) rather than unsetting the cache dir —
+    the cache object is a module singleton initialized at most once, so
+    flipping the dir config after first use is silently ignored."""
     try:
-        cache_dir = jax.config.jax_compilation_cache_dir
+        prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     except AttributeError:
-        pass
-    if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", None)
+        prev_min = None
+    if prev_min is not None:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
@@ -34,8 +36,10 @@ def host_init(model, *init_args, seed: int = 0, **init_kwargs):
                 jax.random.PRNGKey(seed), *init_args, **init_kwargs
             )
     finally:
-        if cache_dir:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        if prev_min is not None:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", prev_min
+            )
     if jax.default_backend() != "cpu":
         variables = jax.device_put(variables, jax.devices()[0])
     return variables
