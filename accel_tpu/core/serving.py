@@ -36,6 +36,9 @@ class VideoSegmenter:
         self.interval = int(interval)
         self.model = model
         self.propagate = propagate
+        self._variables = variables
+        self._full_res = full_res
+        self._group_fn = None
         self._key_p, self._cur_p = make_key_cur_predictors(
             model, variables, full_res_pred=full_res, propagate=propagate
         )
@@ -69,3 +72,46 @@ class VideoSegmenter:
         (use core.pipeline.clip_predictions for the fused batch path)."""
         preds = [np.asarray(self.push_frame(clip[:, i])) for i in range(clip.shape[1])]
         return np.stack(preds, axis=1)
+
+    def push_group(self, frames):
+        """frames (B, k, H, W, 3), keyframe-first -> (B, k, H, W) uint8.
+
+        Group-granularity streaming: ONE device dispatch per keyframe group
+        instead of k (the per-frame loop pays a host round trip per frame —
+        measured 6.8 fps through a tunneled backend vs 4-8 ms of actual
+        device compute). The caller buffers k frames, trading k frames of
+        latency for fused-clip throughput; the schedule must be at a group
+        boundary (`is_keyframe_next`).
+        """
+        if frames.shape[1] != self.interval and self.model.family != "deeplab":
+            raise ValueError(
+                f"group length {frames.shape[1]} != interval {self.interval}"
+            )
+        if not self.is_keyframe_next:
+            raise ValueError(
+                "push_group mid-group: schedule is not at a keyframe "
+                f"(t={self._t}, interval={self.interval}); reset() or finish "
+                "the group with push_frame"
+            )
+        if self._group_fn is None:
+            import jax
+
+            from accel_tpu.core.pipeline import clip_predictions
+
+            k = self.interval
+
+            @jax.jit
+            def run(variables, frames):
+                return clip_predictions(
+                    self.model, variables, frames, k, self.propagate,
+                    full_res=self._full_res,
+                )
+
+            self._group_fn = run
+        pred = self._group_fn(self._variables, frames)
+        # groups are self-contained (each starts at its keyframe), so the
+        # per-frame cache is simply invalidated and the clock advances
+        self._t += frames.shape[1]
+        self._prop = None
+        self._anchor_small = None
+        return pred

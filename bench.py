@@ -175,6 +175,12 @@ def main():
     # B=4 is the reported subject: serving batches clips, and the baseline
     # is batched identically, so the ratio stays apples-to-apples
     ap.add_argument("--clip-batch", type=int, default=4)
+    ap.add_argument("--input-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="dtype of the fed frames/clips (baseline and "
+                         "subject alike). The models compute in bf16 either "
+                         "way; bf16 feed halves input HBM reads and the "
+                         "clip working set (enables larger clip batches)")
     ap.add_argument("--feat-stride", type=int, default=16,
                     help="backbone output stride for baseline+subject "
                          "(8 = the dilated os8 ladder)")
@@ -208,9 +214,10 @@ def main():
     B = args.clip_batch
 
     # ---- baseline: per-frame DeepLab-101, batched like the subject -------
+    in_dtype = jnp.dtype(args.input_dtype)
     base_model = _build("deeplab", 101, 0, use_pallas, args.feat_stride)
     base_vars = _init_variables(base_model, H, W)
-    frame = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
+    frame = jnp.asarray(rng.standard_normal((B, H, W, 3)), in_dtype)
 
     def per_frame(variables, image):
         # same fused upsample+argmax serving tail as the subject
@@ -229,7 +236,7 @@ def main():
     # ---- subject: Accel-18 clip inference @ interval 5 -------------------
     def measure_clip(model, B):
         variables = _init_variables(model, H, W)
-        clip = jnp.asarray(rng.standard_normal((B, k, H, W, 3)), jnp.float32)
+        clip = jnp.asarray(rng.standard_normal((B, k, H, W, 3)), in_dtype)
 
         def run_clip(variables, clip):
             return clip_predictions(model, variables, clip, k, "direct")
@@ -303,6 +310,7 @@ def main():
                    if dff_fps else {}),
                 **({"streaming_fps": round(stream_fps, 3)} if stream_fps else {}),
                 "clip_batch": B,
+                "input_dtype": args.input_dtype,
                 "backend": backend,
                 "pallas_warp": use_pallas,
             }

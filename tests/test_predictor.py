@@ -4,6 +4,7 @@ surface, SURVEY.md §2 'Predictor (public API to match)')."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from accel_tpu.core.predictor import DataBatch, Predictor, pred_eval
 
@@ -142,3 +143,31 @@ def test_video_segmenter_streaming(tiny_accel):
     assert seg.is_keyframe_next is False  # t=7, next key at 9
     seg.reset()
     assert seg.is_keyframe_next
+
+
+def test_push_group_matches_per_frame_loop(tiny_accel):
+    """Group-granularity streaming (one dispatch per keyframe group) must
+    reproduce the per-frame loop's predictions and keep the schedule
+    consistent when mixing the two."""
+    from accel_tpu.core.serving import VideoSegmenter
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(11)
+    clip = jnp.asarray(rng.standard_normal((1, 4, 128, 128, 3)), jnp.float32) * 0.1
+
+    seg_a = VideoSegmenter(m, variables, interval=4)
+    loop_preds = np.asarray(seg_a.push_clip(clip))
+
+    seg_b = VideoSegmenter(m, variables, interval=4)
+    group_preds = np.asarray(seg_b.push_group(clip))
+    agree = (loop_preds == group_preds).mean()
+    assert agree > 0.999, f"agreement {agree}"
+
+    # schedule stays keyframe-aligned after a group; mid-group push_group
+    # is rejected
+    assert seg_b.is_keyframe_next
+    seg_b.push_frame(clip[:, 0])
+    with pytest.raises(ValueError):
+        seg_b.push_group(clip)
+    with pytest.raises(ValueError):
+        VideoSegmenter(m, variables, interval=4).push_group(clip[:, :2])
