@@ -74,31 +74,42 @@ def main():
 
         imdb = CamVid(cfg.dataset.test_image_set, cfg.dataset.root_path, cfg.dataset.dataset_path)
 
-    from accel_tpu.utils.host_init import host_init
-
     model = build_model(cfg)
     side = 64 * int(cfg.network.flow_input_downscale)
     dummy = jnp.zeros((1, side, side, 3), jnp.float32)
-    variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
 
-    if not args.random_weights:
-        train_dir = os.path.join(cfg.output_path, cfg_name, cfg.dataset.image_set)
-        prefix = os.path.join(train_dir, cfg.TRAIN.model_prefix)
+    def _init_fn():
+        return model.init(
+            jax.random.PRNGKey(0), dummy, dummy, jnp.ones((1,)), train=False
+        )
+
+    train_dir = os.path.join(cfg.output_path, cfg_name, cfg.dataset.image_set)
+    prefix = os.path.join(train_dir, cfg.TRAIN.model_prefix)
+    steps = [] if args.random_weights else saved_epochs(prefix)
+    if steps:
+        from accel_tpu.core.trainer import init_train_state, make_optimizer
+
+        # restoring a checkpoint needs only the state's SHAPE: eval_shape
+        # traces init without executing it (a concrete init is minutes of
+        # uncached eager XLA:CPU compiles for a 110M-param model, all of it
+        # immediately overwritten by the restore)
+        tx, _ = make_optimizer(cfg, 1)
+        abstract = jax.eval_shape(
+            lambda: init_train_state(model, _init_fn(), tx)
+        )
         requested = int(cfg.TEST.test_epoch) - 1
-        steps = saved_epochs(prefix)
-        if steps:
-            from accel_tpu.core.trainer import init_train_state, make_optimizer
+        # largest saved step <= requested (checkpoint_interval > 1 means
+        # not every epoch exists); fall back to the earliest saved one
+        epoch = max([s for s in steps if s <= requested], default=steps[0])
+        state = load_checkpoint(prefix, epoch, abstract)
+        variables = state.variables
+        logger.info(f"restored {prefix} epoch {epoch}")
+    else:
+        from accel_tpu.utils.host_init import host_init
 
-            tx, _ = make_optimizer(cfg, 1)
-            state = init_train_state(model, variables, tx)
-            # largest saved step <= requested (checkpoint_interval > 1 means
-            # not every epoch exists); fall back to the earliest saved one
-            epoch = max([s for s in steps if s <= requested], default=steps[0])
-            state = load_checkpoint(prefix, epoch, state)
-            variables = state.variables
-            logger.info(f"restored {prefix} epoch {epoch}")
-        else:
+        if not args.random_weights:
             logger.info("no checkpoint found — using random weights")
+        variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
 
     propagate = args.propagate or str(cfg.network.propagate)
     intervals = (
