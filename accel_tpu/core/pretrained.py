@@ -252,6 +252,16 @@ def apply_pretrained_cfg(cfg, variables, logger=None):
     net = cfg.network
     epoch = int(net.get("pretrained_epoch", 0) or 0)
     reports = {}
+    if (str(net.get("pretrained_flow", "") or "")
+            and str(net.get("scale_field_norm", "none")) != "none"):
+        msg = (
+            "network.pretrained_flow is set but scale_field_norm="
+            f"{net.get('scale_field_norm')!r}: reference FlowNet weights "
+            "were trained with the raw (gain-covariant) scale field — set "
+            "scale_field_norm: none for weight parity, or retrain the "
+            "fusion/head under the normalized field"
+        )
+        (logger.warning if logger else print)(msg)
     jobs = [
         (str(net.get("pretrained", "") or ""), ("ref_net", "backbone"),
          int(net.ref_depth), "ref"),
