@@ -158,6 +158,30 @@ def measure_streaming(model, H, W, k, rng, n_cycles=4):
     return n / dt
 
 
+def measure_streaming_group(model, H, W, k, rng, n_cycles=4):
+    """Steady-state fps of group-granularity streaming (push_group): one
+    dispatch per keyframe group — k frames of buffering latency buys back
+    the per-frame host round trip that bounds push_frame on remote
+    backends."""
+    from accel_tpu.core.serving import VideoSegmenter
+
+    variables = _init_variables(model, H, W)
+    seg = VideoSegmenter(model, variables, interval=k)
+    groups = [
+        jax.device_put(
+            jnp.asarray(rng.standard_normal((1, k, H, W, 3)), jnp.float32)
+        )
+        for _ in range(n_cycles)
+    ]
+    jax.block_until_ready(groups)
+    np.asarray(seg.push_group(groups[0]))  # compile
+    t0 = time.perf_counter()
+    for g in groups:
+        np.asarray(seg.push_group(g))
+    dt = time.perf_counter() - t0
+    return (k * n_cycles) / dt
+
+
 def main():
     import os
 
@@ -283,12 +307,16 @@ def main():
 
     # ---- streaming: per-frame VideoSegmenter loop (the reference's
     # pred_eval protocol; includes per-frame dispatch + prediction readback)
-    stream_fps = None
+    stream_fps = stream_group_fps = None
     if args.streaming and extras_ok():
         try:
             stream_fps = measure_streaming(model, H, W, k, rng)
         except Exception:
             stream_fps = None
+        try:
+            stream_group_fps = measure_streaming_group(model, H, W, k, rng)
+        except Exception:
+            stream_group_fps = None
 
     print(
         json.dumps(
@@ -309,6 +337,8 @@ def main():
                     **_mfu_fields("dff", dff_fps, dff_flops, B * k, backend)}
                    if dff_fps else {}),
                 **({"streaming_fps": round(stream_fps, 3)} if stream_fps else {}),
+                **({"streaming_group_fps": round(stream_group_fps, 3)}
+                   if stream_group_fps else {}),
                 "clip_batch": B,
                 "input_dtype": args.input_dtype,
                 "backend": backend,
