@@ -104,7 +104,7 @@ def clip_loss_and_stats(
     every pixel of unannotated frames}. F must be divisible by the model's
     interval = F (single group) in the intended use.
     """
-    B, F = batch["clip"].shape[:2]
+    F = batch["clip"].shape[1]
     label = batch["label"]
     if mutable_stats:
         raise NotImplementedError(
@@ -126,23 +126,33 @@ def clip_loss_and_stats(
     )(label)
     loss = per_frame.sum() / jnp.maximum(annotated.sum(), 1)
     if aux_weight > 0.0:
-        # keep the raw branch outputs strong on the annotated frames
-        flat_frames = batch["clip"].reshape(B * F, *batch["clip"].shape[2:])
-        flat_label = label.reshape(B * F, *label.shape[2:])
-        prop_cur = model.apply(variables, flat_frames, method="ref_propagated")
+        # keep the raw branch outputs strong on the annotated frame. Only
+        # ONE frame per clip carries labels (the loader contract), so the
+        # aux branches run on that frame alone — running them on all B*F
+        # frames is identical in value (unannotated frames have zero valid
+        # pixels) but wastes ~(F-1)/F of a full ref+update forward/backward
+        valid = (label != 255) & (label < num_classes)  # (B,F,H,W)
+        ann_idx = jnp.argmax(valid.sum(axis=(2, 3)), axis=1)  # (B,)
+        ann_frames = jnp.take_along_axis(
+            batch["clip"], ann_idx[:, None, None, None, None], axis=1
+        ).squeeze(1)
+        ann_label = jnp.take_along_axis(
+            label, ann_idx[:, None, None, None], axis=1
+        ).squeeze(1)
+        prop_cur = model.apply(variables, ann_frames, method="ref_propagated")
         ref_scores = model.apply(
             variables, prop_cur, method="ref_scores_from_propagated"
         )
-        # softmax_cross_entropy is a mean over valid pixels, so the flat
-        # (B*F) call is already on the same scale as the clip loss
+        # softmax_cross_entropy is a mean over valid pixels, so this is on
+        # the same scale as the clip loss
         loss = loss + aux_weight * softmax_cross_entropy(
-            resize_bilinear(ref_scores, hw), flat_label, num_classes,
+            resize_bilinear(ref_scores, hw), ann_label, num_classes,
             loss_scale, ohem_fraction,
         )
         if model.family == "accel":
-            upd = model.apply(variables, flat_frames, method="update_scores")
+            upd = model.apply(variables, ann_frames, method="update_scores")
             loss = loss + aux_weight * softmax_cross_entropy(
-                resize_bilinear(upd, hw), flat_label, num_classes,
+                resize_bilinear(upd, hw), ann_label, num_classes,
                 loss_scale, ohem_fraction,
             )
     return loss, None
@@ -319,11 +329,11 @@ def clip_predictions(
         pred = jnp.repeat(jnp.repeat(pred, H // h, axis=2), W // w, axis=3)
         return pred
 
-    if upsample == "bilinear_logits" and H % 128 == 0 and W % 128 == 0:
-        from accel_tpu.ops.upsample_argmax import upsample_argmax
+    if upsample == "bilinear_logits":
+        from accel_tpu.ops.upsample_argmax import upsample_argmax_or_oracle
 
         flat = logits.reshape(B * F, *logits.shape[2:])
-        return upsample_argmax(flat, (H, W)).reshape(B, F, H, W)
+        return upsample_argmax_or_oracle(flat, (H, W)).reshape(B, F, H, W)
 
     def up_argmax(lg):  # (B, h, w, C) one frame at a time to bound memory
         return jnp.argmax(resize_bilinear(lg, (H, W)), axis=-1).astype(jnp.uint8)

@@ -101,11 +101,9 @@ def make_key_cur_predictors(
     def _pred_from_scores(scores, hw):
         if not full_res_pred:
             return jnp.argmax(scores, -1).astype(jnp.uint8)
-        if hw[0] % 128 == 0 and hw[1] % 128 == 0:
-            from accel_tpu.ops.upsample_argmax import upsample_argmax
+        from accel_tpu.ops.upsample_argmax import upsample_argmax_or_oracle
 
-            return upsample_argmax(scores, tuple(hw))
-        return jnp.argmax(resize_bilinear(scores, hw), -1).astype(jnp.uint8)
+        return upsample_argmax_or_oracle(scores, tuple(hw))
 
     def key_fn(v, image):
         prop = model.apply(v, image, method="ref_propagated")

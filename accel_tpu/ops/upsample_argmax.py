@@ -108,12 +108,36 @@ def upsample_argmax(
     return _upsample_argmax_nchw(x, (H, W), row_block, bool(interpret))
 
 
-def upsample_argmax_vmem_bytes(h: int, w: int, W: int, row_block: int = 128) -> int:
+def upsample_argmax_vmem_bytes(
+    h: int, w: int, W: int, C: int, row_block: int = 128, in_bytes: int = 4
+) -> int:
     """Per-grid-step VMEM footprint estimate (f32 compute)."""
-    plane = h * w * 4  # one source channel staged... full block is C planes
     return (
         row_block * h * 4  # A block
         + w * W * 4  # B
-        + 19 * plane  # source block (upper bound at 19 classes)
+        + C * h * w * in_bytes  # source block (all C planes)
         + 3 * row_block * W * 4  # y, best, idx
     )
+
+
+# leave headroom under the ~16 MB/core VMEM for double-buffered block
+# staging and the compiler's own scratch
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def upsample_argmax_or_oracle(logits: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """The serving-tail dispatch policy, shared by clip_predictions, the
+    key/cur predictors and bench: the fused kernel on TPU when the output
+    rows align with the row block and the working set fits VMEM; the
+    materializing XLA resize+argmax oracle otherwise (off-TPU the kernel
+    would run interpreted — strictly worse than the oracle)."""
+    H, W = int(out_hw[0]), int(out_hw[1])
+    N, h, w, C = logits.shape
+    fits = upsample_argmax_vmem_bytes(
+        h, w, W, C, in_bytes=logits.dtype.itemsize
+    ) <= _VMEM_BUDGET
+    if _effective_platform() == "tpu" and H % 128 == 0 and W % 128 == 0 and fits:
+        return upsample_argmax(logits, (H, W))
+    from accel_tpu.ops.upsample import resize_bilinear
+
+    return jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1).astype(jnp.uint8)

@@ -246,12 +246,10 @@ def main():
     def per_frame(variables, image):
         # same fused upsample+argmax serving tail as the subject
         # (clip_predictions dispatches identically) — apples-to-apples
-        logits = base_model.apply(variables, image, method="ref_propagated")
-        if H % 128 == 0 and W % 128 == 0:
-            from accel_tpu.ops.upsample_argmax import upsample_argmax
+        from accel_tpu.ops.upsample_argmax import upsample_argmax_or_oracle
 
-            return upsample_argmax(logits, (H, W))
-        return jnp.argmax(resize_bilinear(logits, (H, W)), axis=-1).astype(jnp.uint8)
+        logits = base_model.apply(variables, image, method="ref_propagated")
+        return upsample_argmax_or_oracle(logits, (H, W))
 
     t_base = _slope_time(per_frame, base_vars, frame, verbose=args.verbose)
     base_fps = B / t_base

@@ -99,8 +99,17 @@ def main():
         )
         requested = int(cfg.TEST.test_epoch) - 1
         # largest saved step <= requested (checkpoint_interval > 1 means
-        # not every epoch exists); fall back to the earliest saved one
+        # not every epoch exists)
         epoch = max([s for s in steps if s <= requested], default=steps[0])
+        if epoch > requested:
+            # nothing at-or-below the request exists; substituting a LATER
+            # (longer-trained) checkpoint changes what's being measured —
+            # say so loudly rather than only in passing
+            logger.warning(
+                f"TEST.test_epoch={cfg.TEST.test_epoch} requested epoch "
+                f"{requested} but earliest saved step is {epoch} "
+                f"(saved: {steps}) — evaluating epoch {epoch} instead"
+            )
         state = load_checkpoint(prefix, epoch, abstract)
         variables = state.variables
         logger.info(f"restored {prefix} epoch {epoch}")

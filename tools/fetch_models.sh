@@ -13,8 +13,8 @@
 #      resnet_v1 weights) -> converted onto DilatedResNet's param tree.
 #   2. If you have the reference's own .params files (OneDrive links in
 #      SamvitJ/Accel's README), drop them into model/pretrained_model/ and
-#      this script converts them directly — accel_tpu.utils.mxnet_io parses
-#      the MXNet container format without an MXNet install.
+#      this script converts them directly — the from-scratch MXNet parser in
+#      tools/convert_params.py reads the container format without MXNet.
 #
 # Training then picks the converted files up via the cfg fields
 #   network.pretrained / network.pretrained_flow / network.pretrained_update
@@ -27,7 +27,7 @@ mkdir -p model/pretrained_model
 for f in model/pretrained_model/resnet_v1_101-0000.params \
          model/pretrained_model/flownet-0000.params; do
   if [ -f "$f" ]; then
-    out="${f%.params}.msgpack"
+    out="${f%.params}.npz"
     echo "converting $f -> $out"
     python tools/convert_params.py --mxnet "$f" --out "$out"
   fi
@@ -57,9 +57,9 @@ EOF
 
 for d in 18 101; do
   src="model/pretrained_model/torch_resnet${d}.pth"
-  out="model/pretrained_model/resnet${d}_imagenet.msgpack"
+  out="model/pretrained_model/resnet${d}_imagenet.npz"
   if [ -f "$src" ] && [ ! -f "$out" ]; then
     python tools/convert_params.py --torch "$src" --depth "$d" --out "$out"
   fi
 done
-echo "done; point cfg network.pretrained at the .msgpack files"
+echo "done; point cfg network.pretrained at the .npz files"
