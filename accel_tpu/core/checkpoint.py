@@ -25,8 +25,12 @@ def _mngr(prefix_dir: str) -> ocp.CheckpointManager:
 def save_checkpoint(prefix_dir: str, epoch: int, state) -> None:
     """Save the train state for ``epoch`` (reference: do_checkpoint)."""
     mngr = _mngr(prefix_dir)
-    # force: overwrite an existing step (orbax otherwise silently skips,
-    # which resurrects stale checkpoints when a run is repeated)
+    # Re-runs must overwrite: orbax raises StepAlreadyExistsError on a step
+    # collision (and `force` only bypasses the save-interval policy — the
+    # r1 force=True alone left repeated runs crashing on leftover steps),
+    # so delete the stale step first.
+    if epoch in mngr.all_steps():
+        mngr.delete(epoch)
     mngr.save(epoch, args=ocp.args.StandardSave(state), force=True)
     mngr.wait_until_finished()
     mngr.close()

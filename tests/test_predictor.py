@@ -171,3 +171,29 @@ def test_push_group_matches_per_frame_loop(tiny_accel):
         seg_b.push_group(clip)
     with pytest.raises(ValueError):
         VideoSegmenter(m, variables, interval=4).push_group(clip[:, :2])
+
+
+def test_checkpoint_overwrite_same_step(tiny_accel, tmp_path):
+    """Re-running an epoch must overwrite its checkpoint: orbax raises
+    StepAlreadyExistsError on step collision (force= only bypasses the
+    save-interval policy), so save_checkpoint deletes the stale step first.
+    Regression for the ladder reruns crashing on leftover /tmp state."""
+    from accel_tpu.config import default_config
+    from accel_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from accel_tpu.core.trainer import init_train_state, make_optimizer
+
+    m, variables = tiny_accel
+    cfg = default_config()
+    tx, _ = make_optimizer(cfg, 10)
+    state = init_train_state(m, variables, tx)
+    prefix = str(tmp_path / "ckpt")
+    state = jax.device_get(state)
+    save_checkpoint(prefix, 3, state)
+
+    bumped = jax.tree.map(lambda x: x + 1 if jnp.issubdtype(
+        jnp.asarray(x).dtype, jnp.floating) else x, state)
+    save_checkpoint(prefix, 3, bumped)  # must not raise
+    restored = load_checkpoint(prefix, 3, state)
+    a = jax.tree.leaves(restored.variables["params"])[0]
+    b = jax.tree.leaves(state.variables["params"])[0]
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0.5
