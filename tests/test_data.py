@@ -202,8 +202,10 @@ def test_generator_covers_post_annotated_frames(tmp_path):
         writer(out, "train", "c", 0, 64, 128, rng)
         seq_dir = os.path.join(out, "leftImg8bit_sequence", "train", "c")
         frames = sorted(int(f.split("_")[2]) for f in os.listdir(seq_dir))
-        assert min(frames) <= ANNOTATED_FRAME - 4
-        assert max(frames) >= ANNOTATED_FRAME + 4, (
-            f"{style}: sequence ends at {max(frames)}; offset-0 eval needs "
-            f"frames through {ANNOTATED_FRAME + 4}"
+        # k=10 interval ladder: keyframe up to annotated-9, clip frames
+        # through annotated+9 (the real snippet range)
+        assert min(frames) <= ANNOTATED_FRAME - 9
+        assert max(frames) >= ANNOTATED_FRAME + 9, (
+            f"{style}: sequence ends at {max(frames)}; the k=10 offset "
+            f"sweep needs frames through {ANNOTATED_FRAME + 9}"
         )

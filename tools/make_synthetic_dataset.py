@@ -31,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def write_snippet(data_dir, split, city, seq, H, W, rng, back=8, fwd=5):
+def write_snippet(data_dir, split, city, seq, H, W, rng, back=12, fwd=9):
     import cv2
 
     from accel_tpu.data.cityscapes import ANNOTATED_FRAME
@@ -143,7 +143,7 @@ def _render_hard(H, W, objects, bg_rows, t, rng, flicker):
     return np.clip(img, 0, 255).astype(np.uint8), lab
 
 
-def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=8, fwd=5):
+def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=12, fwd=9):
     import cv2
 
     from accel_tpu.data.cityscapes import ANNOTATED_FRAME
