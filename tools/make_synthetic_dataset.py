@@ -178,12 +178,25 @@ def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=12, fwd=9):
         )
     flicker = float(rng.uniform(-0.02, 0.02))
 
+    # per-frame rng derived from a snippet seed + frame index: frame
+    # content is then independent of the covered range, so extending
+    # back/fwd adds frames without reshuffling existing ones
+    noise_seed = int(rng.integers(0, 2**31))
+
+    def frame_rng(fidx):
+        return np.random.default_rng((noise_seed, fidx))
+
     name = f"{city}_{seq:06d}_{ANNOTATED_FRAME:06d}"
-    img0, lab0 = _render_hard(H, W, objects, bg_rows, 0, rng, flicker)
+    img0, lab0 = _render_hard(
+        H, W, objects, bg_rows, 0, frame_rng(ANNOTATED_FRAME), flicker
+    )
     put(os.path.join(data_dir, "leftImg8bit", split, city, f"{name}_leftImg8bit.png"), img0)
     put(os.path.join(data_dir, "gtFine", split, city, f"{name}_gtFine_labelIds.png"), lab0)
     for fidx in range(ANNOTATED_FRAME - back, ANNOTATED_FRAME + fwd + 1):
-        frame, _ = _render_hard(H, W, objects, bg_rows, fidx - ANNOTATED_FRAME, rng, flicker)
+        frame, _ = _render_hard(
+            H, W, objects, bg_rows, fidx - ANNOTATED_FRAME, frame_rng(fidx),
+            flicker,
+        )
         sname = f"{city}_{seq:06d}_{fidx:06d}"
         put(
             os.path.join(
