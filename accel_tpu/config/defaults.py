@@ -60,6 +60,11 @@ def make_defaults() -> Config:
                 # through the shared head — offset-0 mIoU 42.9 vs 80.0).
                 # Set 'none' for reference-weight parity (raw DFF field).
                 "scale_field_norm": "mean1",
+                # int8 serving quantization (backbone+fc6; stem and score
+                # head stay float) — v5e int8 MXU runs at 2x bf16. Serving
+                # knobs; checkpoints are dtype-unchanged either way.
+                "quantize_ref": False,
+                "quantize_update": False,
                 # norm layer: 'frozenbn' (reference behavior, for pretrained
                 # stats), 'batchnorm', or 'groupnorm' (from-scratch default)
                 "norm": "groupnorm",

@@ -78,6 +78,13 @@ class AccelNet(nn.Module):
     # cliff (42.9 vs 80.0 warped); 'mean1' keeps DFF's per-pixel relative
     # modulation while pinning the gain.
     scale_field_norm: str = "none"
+    # int8 serving quantization per branch (ops/quant.py): the keyframe
+    # ref branch is the dominant cost of every propagation family and the
+    # safest to quantize (its scores pass through fusion recalibration).
+    # Checkpoint-compatible; serving-time knobs (network.quantize_ref /
+    # network.quantize_update in cfg).
+    quantize_ref: bool = False
+    quantize_update: bool = False
 
     @property
     def warp_tensor(self) -> str:
@@ -95,6 +102,7 @@ class AccelNet(nn.Module):
             norm=self.norm,
             stem=self.stem,
             dtype=self.dtype,
+            quantize=self.quantize_ref,
             name="ref_net",
         )
         if self.family == "accel":
@@ -107,6 +115,7 @@ class AccelNet(nn.Module):
                 norm=self.norm,
                 stem=self.stem,
                 dtype=self.dtype,
+                quantize=self.quantize_update,
                 name="update_net",
             )
             self.fusion = nn.Conv(
@@ -251,4 +260,6 @@ def build_model(cfg) -> AccelNet:
         flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
         stem=str(net.get("stem", "s2d")),
         scale_field_norm=str(net.get("scale_field_norm", "none") or "none"),
+        quantize_ref=bool(net.get("quantize_ref", False)),
+        quantize_update=bool(net.get("quantize_update", False)),
     )

@@ -27,10 +27,13 @@ class DeepLabHead(nn.Module):
     head_channels: int = 1024
     head_dilation: int = 6
     dtype: Any = jnp.bfloat16
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, feat, mode: str = "full"):
-        """mode: 'full' = fc6+score, 'features' = fc6 only, 'scores' = score only."""
+        """mode: 'full' = fc6+score, 'scores' = score only, 'features' = fc6 only."""
+        from accel_tpu.ops.quant import int8_conv_general_dilated
+
         x = feat
         if mode in ("full", "features"):
             d = self.head_dilation
@@ -38,6 +41,9 @@ class DeepLabHead(nn.Module):
                 self.head_channels, (3, 3),
                 kernel_dilation=(d, d), padding=[(d, d), (d, d)],
                 dtype=self.dtype, name="fc6",
+                conv_general_dilated=(
+                    int8_conv_general_dilated if self.quantize else None
+                ),
             )(x)
             x = nn.relu(x)
             if mode == "features":
@@ -60,6 +66,9 @@ class DeepLab(nn.Module):
     norm: str = "frozenbn"
     stem: str = "conv7"
     dtype: Any = jnp.bfloat16
+    # int8 serving path (residual stages + fc6; stem and the 19-ch score
+    # head stay float) — see ops/quant.py
+    quantize: bool = False
 
     def setup(self):
         self.backbone = DilatedResNet(
@@ -68,12 +77,14 @@ class DeepLab(nn.Module):
             norm=self.norm,
             stem=self.stem,
             dtype=self.dtype,
+            quantize=self.quantize,
         )
         self.head = DeepLabHead(
             num_classes=self.num_classes,
             head_channels=self.head_channels,
             head_dilation=self.head_dilation,
             dtype=self.dtype,
+            quantize=self.quantize,
         )
 
     def __call__(self, image, train: bool = False, mode: str = "full"):

@@ -19,6 +19,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from accel_tpu.ops.quant import int8_conv_general_dilated
+
 STAGE_PLANS = {
     18: ("basic", (2, 2, 2, 2)),
     34: ("basic", (3, 4, 6, 3)),
@@ -77,16 +79,19 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = make_norm(self.norm, self.dtype, train)
+        conv_fn = int8_conv_general_dilated if self.quantize else None
         residual = x
         y = nn.Conv(
             self.width, (3, 3), strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv1",
+                conv_general_dilated=conv_fn,
         )(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
@@ -95,12 +100,14 @@ class BasicBlock(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
+                conv_general_dilated=conv_fn,
         )(y)
         y = norm(name="bn2")(y)
         if residual.shape[-1] != self.width or self.stride != 1:
             residual = nn.Conv(
                 self.width, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample",
+                conv_general_dilated=conv_fn,
             )(residual)
             residual = norm(name="ds_bn")(residual)
         return nn.relu(y + residual)
@@ -112,13 +119,16 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = make_norm(self.norm, self.dtype, train)
+        conv_fn = int8_conv_general_dilated if self.quantize else None
         out_ch = self.width * 4
         residual = x
-        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1", conv_general_dilated=conv_fn)(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -126,15 +136,18 @@ class Bottleneck(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
+                conv_general_dilated=conv_fn,
         )(y)
         y = norm(name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3", conv_general_dilated=conv_fn)(y)
         y = norm(name="bn3")(y)
         if residual.shape[-1] != out_ch or self.stride != 1:
             residual = nn.Conv(
                 out_ch, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample",
+                conv_general_dilated=conv_fn,
             )(residual)
             residual = norm(name="ds_bn")(residual)
         return nn.relu(y + residual)
@@ -181,6 +194,11 @@ class DilatedResNet(nn.Module):
     norm: str = "frozenbn"
     stem: str = "conv7"
     dtype: Any = jnp.bfloat16
+    # int8 serving path for the residual stages (stem stays float: 3-ch
+    # input, bandwidth-bound, and first-layer quantization costs the most
+    # accuracy). Checkpoint-compatible — same param tree, weights are
+    # quantized at trace time (ops/quant.py).
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -224,6 +242,7 @@ class DilatedResNet(nn.Module):
                     dilation=d,
                     norm=self.norm,
                     dtype=self.dtype,
+                    quantize=self.quantize,
                     name=f"layer{si + 1}_block{bi}",
                 )(x, train=train)
         return x
