@@ -67,7 +67,7 @@ def _mfu_fields(prefix: str, fps: float, flops_call, frames_per_call: int, backe
 
 
 def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool,
-           feat_stride: int = 16):
+           feat_stride: int = 16, quantize: bool = False):
     from accel_tpu.models.accel import AccelNet
 
     return AccelNet(
@@ -81,6 +81,8 @@ def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool,
         dtype=jnp.bfloat16,
         use_pallas_warp=use_pallas,
         warp_max_disp=8,
+        quantize_ref=quantize,
+        quantize_update=quantize,
     )
 
 
@@ -199,6 +201,10 @@ def main():
     # B=4 is the reported subject: serving batches clips, and the baseline
     # is batched identically, so the ratio stays apples-to-apples
     ap.add_argument("--clip-batch", type=int, default=4)
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 serving quantization (ops/quant.py) for ALL "
+                         "measured configs including the baseline — "
+                         "apples-to-apples quantized serving comparison")
     ap.add_argument("--input-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="dtype of the fed frames/clips (baseline and "
@@ -239,7 +245,8 @@ def main():
 
     # ---- baseline: per-frame DeepLab-101, batched like the subject -------
     in_dtype = jnp.dtype(args.input_dtype)
-    base_model = _build("deeplab", 101, 0, use_pallas, args.feat_stride)
+    base_model = _build("deeplab", 101, 0, use_pallas, args.feat_stride,
+                        args.quantize)
     base_vars = _init_variables(base_model, H, W)
     frame = jnp.asarray(rng.standard_normal((B, H, W, 3)), in_dtype)
 
@@ -266,7 +273,7 @@ def main():
         t = _slope_time(run_clip, variables, clip, verbose=args.verbose)
         return (B * k) / t, _flops_of(run_clip, variables, clip)
 
-    model = _build("accel", 101, 18, use_pallas, args.feat_stride)
+    model = _build("accel", 101, 18, use_pallas, args.feat_stride, args.quantize)
     fps, subj_flops = measure_clip(model, B)
 
     # TPU-optimized variant: update branch at stride 32 / 256-wide head,
@@ -279,6 +286,7 @@ def main():
         dtype=jnp.bfloat16, use_pallas_warp=use_pallas, warp_max_disp=8,
         update_head_channels=256, update_input_downscale=2,
         flow_input_downscale=4, flow_width_mult=0.5,
+        quantize_ref=args.quantize, quantize_update=args.quantize,
     )
     try:
         fast_fps, fast_flops = measure_clip(fast_model, B)
@@ -297,6 +305,7 @@ def main():
             family="dff", ref_depth=101, num_classes=19, feat_stride=16,
             head_channels=1024, dtype=jnp.bfloat16, use_pallas_warp=use_pallas,
             warp_max_disp=16, flow_input_downscale=4, flow_width_mult=0.5,
+            quantize_ref=args.quantize,
         )
         try:
             dff_fps, dff_flops = measure_clip(dff_model, B)
@@ -339,6 +348,7 @@ def main():
                    if stream_group_fps else {}),
                 "clip_batch": B,
                 "input_dtype": args.input_dtype,
+                "quantized": bool(args.quantize),
                 "backend": backend,
                 "pallas_warp": use_pallas,
             }

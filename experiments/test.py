@@ -31,6 +31,10 @@ def parse_args():
                    help="evaluate every annotated-frame offset 0..k-1 after "
                         "the keyframe (paper's mIoU-vs-offset curve, "
                         "SURVEY.md Appendix B)")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 serving quantization of both branches "
+                        "(network.quantize_ref/quantize_update) for this "
+                        "eval; checkpoints restore unchanged")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--random-weights", action="store_true",
                    help="skip checkpoint restore (pipeline smoke / timing)")
@@ -62,6 +66,9 @@ def main():
     cfg = load_config(args.cfg)
     if args.interval:
         cfg.TEST.KEY_FRAME_INTERVAL = args.interval
+    if args.quantize:
+        cfg.network.quantize_ref = True
+        cfg.network.quantize_update = True
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_dir = create_logger(cfg.output_path, cfg_name, cfg.dataset.test_image_set)
 
