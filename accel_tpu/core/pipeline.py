@@ -163,6 +163,31 @@ def clip_loss_and_stats(
 # ---------------------------------------------------------------------------
 
 
+# Max full-resolution frames per dispatch inside a batched group step.
+# B*k beyond this is processed in equal chunks via lax.map: XLA's resize
+# (and the update branch) otherwise stage whole-(B,k,H,W,3) temporaries —
+# the measured compile-time OOM at B=8, k=5, 1024x2048 (BASELINE.md). 20
+# frames (= the known-good B=4, k=5 working set) keeps the MXU saturated;
+# chunking is numerically exact because every op here is per-frame.
+MAX_FULLRES_FRAMES_PER_DISPATCH = 20
+
+
+def _chunked_apply(model, variables, x, method: str):
+    """model.apply(variables, x, method=method) over the leading (frame)
+    axis in chunks of at most MAX_FULLRES_FRAMES_PER_DISPATCH (largest
+    divisor), sequenced with lax.map so only one chunk is live at a time."""
+    n = x.shape[0]
+    limit = MAX_FULLRES_FRAMES_PER_DISPATCH
+    if n <= limit:
+        return model.apply(variables, x, method=method)
+    c = max(d for d in range(1, limit + 1) if n % d == 0)
+    chunks = x.reshape(n // c, c, *x.shape[1:])
+    out = jax.lax.map(
+        lambda xc: model.apply(variables, xc, method=method), chunks
+    )
+    return out.reshape(n, *out.shape[2:])
+
+
 def _group_step_direct_batched(model, variables, frames_g):
     """Direct-mode group step with the non-key work batched.
 
@@ -182,10 +207,10 @@ def _group_step_direct_batched(model, variables, frames_g):
     if k == 1:
         ref_all = key_scores[:, None]
     else:
-        small = model.apply(
-            variables,
+        small = _chunked_apply(
+            model, variables,
             frames_g.reshape(B * k, *frames_g.shape[2:]),
-            method="downscale_for_flow",
+            "downscale_for_flow",
         )
         small = small.reshape(B, k, *small.shape[1:])
         cur_small = small[:, 1:].reshape(B * (k - 1), *small.shape[2:])
@@ -204,9 +229,9 @@ def _group_step_direct_batched(model, variables, frames_g):
         )
     if model.family != "accel":
         return ref_all
-    upd = model.apply(
-        variables, frames_g.reshape(B * k, *frames_g.shape[2:]),
-        method="update_scores",
+    upd = _chunked_apply(
+        model, variables, frames_g.reshape(B * k, *frames_g.shape[2:]),
+        "update_scores",
     )
     fused = model.apply(
         variables, ref_all.reshape(B * k, *ref_all.shape[2:]), upd, method="fuse"
@@ -234,7 +259,7 @@ def _group_step(model, variables, frames_g, propagate: str):
     # the next step's 'anchor')
     if k > 1 and model.family in ("dff", "accel"):
         flat = frames_g.reshape(B * k, *frames_g.shape[2:])
-        small = model.apply(variables, flat, method="downscale_for_flow")
+        small = _chunked_apply(model, variables, flat, "downscale_for_flow")
         small = small.reshape(B, k, *small.shape[1:])
 
     def frame_output(ref_s, cur_frame):

@@ -238,3 +238,17 @@ def test_scale_field_mean1_gain_invariance(tiny_accel):
     out_c = m.apply(variables, prop, flow, scale, method="warp")
     out_d = m.apply(variables, prop, flow, scale * 7.3, method="warp")
     assert np.abs(np.asarray(out_d) - 7.3 * np.asarray(out_c)).max() < 1e-3
+
+
+def test_chunked_group_step_is_exact(tiny_accel, monkeypatch):
+    """Forcing the full-res chunking path (MAX_FULLRES_FRAMES_PER_DISPATCH
+    below B*k) must reproduce the unchunked direct-mode group step bit-near:
+    every chunked op is per-frame, so lax.map sequencing is exact."""
+    import accel_tpu.core.pipeline as pl
+
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 128, 128, 3)) * 0.1
+    ref = clip_logits(m, variables, clip, interval=4, propagate="direct")
+    monkeypatch.setattr(pl, "MAX_FULLRES_FRAMES_PER_DISPATCH", 2)
+    chunked = clip_logits(m, variables, clip, interval=4, propagate="direct")
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref), atol=1e-6)
