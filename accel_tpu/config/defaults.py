@@ -136,6 +136,11 @@ def make_defaults() -> Config:
                 # CLIP_LENGTH frames — required for propagate='incremental'
                 # eval to hold up; see core/pipeline.clip_loss_and_stats)
                 "objective": "pair",
+                # rematerialize per-frame forwards in the clip objective's
+                # backward (jax.checkpoint): holds one frame's activations
+                # instead of k — enables full-res / large-k clip training
+                # within HBM at the cost of ~one recomputed forward
+                "remat": False,
                 "CLIP_LENGTH": 5,
             },
             "TEST": {

@@ -90,6 +90,7 @@ def clip_loss_and_stats(
     model, variables, batch, num_classes: int, loss_scale: float = 1.0,
     propagate: str = "incremental", mutable_stats: bool = False,
     ohem_fraction: float | None = None, aux_weight: float = 0.0,
+    remat: bool = False,
 ):
     """Clip-unrolled training objective: CE through the cascaded
     propagation, so incremental (frame-to-frame) warping is *trainable* —
@@ -110,7 +111,7 @@ def clip_loss_and_stats(
         raise NotImplementedError(
             "clip objective + running-stat BN: use frozenbn/groupnorm"
         )
-    logits = clip_logits(model, variables, batch["clip"], F, propagate)
+    logits = clip_logits(model, variables, batch["clip"], F, propagate, remat)
     hw = label.shape[2:4]
 
     def frame_ce(lg, lb):  # upsample per frame to bound peak memory
@@ -239,7 +240,7 @@ def _group_step_direct_batched(model, variables, frames_g):
     return fused.reshape(B, k, *fused.shape[1:])
 
 
-def _group_step(model, variables, frames_g, propagate: str):
+def _group_step(model, variables, frames_g, propagate: str, remat: bool = False):
     """One keyframe group: frames_g (B, k, H, W, 3) -> logits (B, k, h, w, C).
 
     Step 0 is the keyframe (reference branch runs); steps 1..k-1 propagate
@@ -247,13 +248,40 @@ def _group_step(model, variables, frames_g, propagate: str):
     Accel) or 'direct' (anchor = keyframe, DFF). Direct mode has no
     sequential dependence between non-key frames and takes the batched
     fast path.
+
+    ``remat=True`` wraps the keyframe forward and every per-frame step in
+    ``jax.checkpoint`` so a clip-objective backward holds only one frame's
+    activations at a time (forwards are recomputed during backprop). It
+    also forces the sequential form in direct mode — the batched fast path
+    materializes all k-1 frames' activations at once, which is exactly
+    what remat exists to avoid.
     """
-    if propagate == "direct":
+    if propagate == "direct" and not remat:
         return _group_step_direct_batched(model, variables, frames_g)
     B, k = frames_g.shape[:2]
     key_frame = frames_g[:, 0]
-    prop = model.apply(variables, key_frame, method="ref_propagated")
-    ref_scores = model.apply(variables, prop, method="ref_scores_from_propagated")
+
+    def key_fwd(v, frame):
+        prop = model.apply(v, frame, method="ref_propagated")
+        return prop, model.apply(v, prop, method="ref_scores_from_propagated")
+
+    def prop_step(v, carry, cur_small, anchor_small):
+        flow, scale = model.apply(v, cur_small, anchor_small, method="flow_pair")
+        warped = model.apply(v, carry, flow, scale, method="warp")
+        return warped, model.apply(v, warped, method="ref_scores_from_propagated")
+
+    def frame_output(v, ref_s, cur_frame):
+        if model.family == "accel":
+            upd = model.apply(v, cur_frame, method="update_scores")
+            return model.apply(v, ref_s, upd, method="fuse")
+        return ref_s
+
+    if remat:
+        key_fwd = jax.checkpoint(key_fwd)
+        prop_step = jax.checkpoint(prop_step)
+        frame_output = jax.checkpoint(frame_output)
+
+    prop, ref_scores = key_fwd(variables, key_frame)
 
     # downscale every frame for FlowNet once (each frame is both a 'cur' and
     # the next step's 'anchor')
@@ -262,23 +290,15 @@ def _group_step(model, variables, frames_g, propagate: str):
         small = _chunked_apply(model, variables, flat, "downscale_for_flow")
         small = small.reshape(B, k, *small.shape[1:])
 
-    def frame_output(ref_s, cur_frame):
-        if model.family == "accel":
-            upd = model.apply(variables, cur_frame, method="update_scores")
-            return model.apply(variables, ref_s, upd, method="fuse")
-        return ref_s
-
-    outs = [frame_output(ref_scores, key_frame)]
+    outs = [frame_output(variables, ref_scores, key_frame)]
     anchor_i = 0
     carry = prop
     for i in range(1, k):
         cur = frames_g[:, i]
-        flow, scale = model.apply(
-            variables, small[:, i], small[:, anchor_i], method="flow_pair"
+        warped, ref_s = prop_step(
+            variables, carry, small[:, i], small[:, anchor_i]
         )
-        warped = model.apply(variables, carry, flow, scale, method="warp")
-        ref_s = model.apply(variables, warped, method="ref_scores_from_propagated")
-        outs.append(frame_output(ref_s, cur))
+        outs.append(frame_output(variables, ref_s, cur))
         if propagate == "incremental":
             carry = warped
             anchor_i = i
@@ -292,6 +312,7 @@ def clip_logits(
     clip: jnp.ndarray,
     interval: int,
     propagate: str = "incremental",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """clip (B, F, H, W, 3) normalized, F % interval == 0 ->
     stride-level logits (B, F, h, w, C).
@@ -309,11 +330,11 @@ def clip_logits(
     groups = clip.reshape(B, G, k, H, W, 3).transpose(1, 0, 2, 3, 4, 5)
 
     if G == 1:
-        out = _group_step(model, variables, groups[0], propagate)
+        out = _group_step(model, variables, groups[0], propagate, remat)
         return out.reshape(B, F, *out.shape[2:])
 
     def body(carry, frames_g):
-        return carry, _group_step(model, variables, frames_g, propagate)
+        return carry, _group_step(model, variables, frames_g, propagate, remat)
 
     _, outs = jax.lax.scan(body, 0, groups)  # (G, B, k, h, w, C)
     outs = outs.transpose(1, 0, 2, 3, 4, 5)

@@ -88,7 +88,7 @@ def make_train_step(
     model, tx, num_classes: int, loss_scale: float = 1.0, mesh=None,
     mutable_stats: bool | None = None, ohem_fraction: float | None = None,
     aux_weight: float = 0.0, objective: str = "pair",
-    propagate: str = "incremental",
+    propagate: str = "incremental", remat: bool = False,
 ):
     """Build the jitted train step. With a mesh, batch is data-sharded and
     state replicated; without, plain jit (single device). ``mutable_stats``
@@ -96,7 +96,9 @@ def make_train_step(
     ``model.norm`` when None). ``objective``: 'pair' (reference single-warp
     objective, batch = data/data_ref/eq_flag/label) or 'clip'
     (cascade-unrolled, batch = clip/label; ``propagate`` selects the
-    cascade mode)."""
+    cascade mode). ``remat`` (clip objective only) rematerializes each
+    frame's forward during backprop — one frame of activations live instead
+    of k (jax.checkpoint; trades ~1 extra forward for O(k) less HBM)."""
     from accel_tpu.core.pipeline import clip_loss_and_stats, pair_loss_and_stats
 
     if mutable_stats is None:
@@ -110,6 +112,7 @@ def make_train_step(
                 return clip_loss_and_stats(
                     model, variables, batch, num_classes, loss_scale,
                     propagate, mutable_stats, ohem_fraction, aux_weight,
+                    remat,
                 )
             return pair_loss_and_stats(
                 model, variables, batch, num_classes, loss_scale, mutable_stats,

@@ -114,6 +114,7 @@ def main():
         model, tx, int(cfg.dataset.NUM_CLASSES), float(cfg.TRAIN.loss_scale), mesh,
         ohem_fraction=ohem, aux_weight=float(cfg.TRAIN.aux_loss_weight),
         objective=objective, propagate=str(cfg.network.propagate),
+        remat=bool(cfg.TRAIN.remat),
     )
     data_iter = PrefetchingIter(
         iter(loader), depth=int(cfg.tpu.prefetch_depth),

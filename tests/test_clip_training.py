@@ -106,3 +106,47 @@ def test_clip_trained_model_survives_incremental_eval(tiny_accel):
         f"incremental ({acc_inc:.3f}) lags direct ({acc_dir:.3f}) — cascade "
         "training objective regressed"
     )
+
+
+def test_remat_clip_objective_matches_exactly(tiny_accel):
+    """TRAIN.remat is a scheduling/memory change only: loss and gradients
+    of the clip objective must match the non-remat path (jax.checkpoint
+    recomputes the same forwards)."""
+    import numpy as np
+
+    m, variables = tiny_accel
+    rng = jax.random.PRNGKey(11)
+    clip = jax.random.normal(rng, (1, 3, 128, 128, 3)) * 0.1
+    label = np.full((1, 3, 128, 128), 255, np.int32)
+    label[:, 1, 32:96, 32:96] = 4
+    batch = {"clip": clip, "label": jnp.asarray(label)}
+
+    def loss_of(params, remat):
+        v = dict(variables)
+        v["params"] = params
+        loss, _ = clip_loss_and_stats(
+            m, v, batch, num_classes=19, propagate="incremental", remat=remat
+        )
+        return loss
+
+    p = variables["params"]
+    l0, g0 = jax.value_and_grad(lambda p: loss_of(p, False))(p)
+    l1, g1 = jax.value_and_grad(lambda p: loss_of(p, True))(p)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_direct_mode_matches_batched_path(tiny_accel):
+    """remat in direct mode forces the sequential group step; it must
+    reproduce the batched fast path's logits."""
+    import numpy as np
+    from accel_tpu.core.pipeline import clip_logits
+
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(12), (1, 4, 128, 128, 3)) * 0.1
+    a = clip_logits(m, variables, clip, 4, propagate="direct", remat=False)
+    b = clip_logits(m, variables, clip, 4, propagate="direct", remat=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
