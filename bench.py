@@ -24,6 +24,7 @@ lengths — cancelling the round-trip latency.
 import argparse
 import functools
 import json
+import sys
 import time
 
 import jax
@@ -242,6 +243,22 @@ def main():
 
     backend = jax.default_backend()
     B = args.clip_batch
+
+    # Touch the device with retries before building anything: if another
+    # process released the (tunneled) TPU claim within the last seconds,
+    # the first host->device copy can fail with a transient INTERNAL
+    # backend error (observed when a bench launched the second an eval
+    # exited). Don't let that kill the benchmark artifact.
+    for attempt in range(4):
+        try:
+            jax.block_until_ready(jnp.zeros((8,)) + 1)
+            break
+        except Exception as e:  # pragma: no cover - backend-transient
+            if attempt == 3:
+                raise
+            print(f"device warmup attempt {attempt + 1} failed "
+                  f"({type(e).__name__}); retrying in 15s", file=sys.stderr)
+            time.sleep(15)
 
     # ---- baseline: per-frame DeepLab-101, batched like the subject -------
     in_dtype = jnp.dtype(args.input_dtype)
