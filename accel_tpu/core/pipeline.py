@@ -173,23 +173,34 @@ def clip_loss_and_stats(
 MAX_FULLRES_FRAMES_PER_DISPATCH = 20
 
 
-def _chunked_apply(model, variables, x, method: str):
+def _chunked_apply(model, variables, x, method: str, scale=None):
     """model.apply(variables, x, method=method) over the leading (frame)
     axis in chunks of at most MAX_FULLRES_FRAMES_PER_DISPATCH (largest
-    divisor), sequenced with lax.map so only one chunk is live at a time."""
+    divisor), sequenced with lax.map so only one chunk is live at a time.
+
+    ``scale`` (scalar or None) multiplies each chunk *inside* the loop
+    body, where it fuses into the consuming convs. Scaling the whole clip
+    upstream instead materializes the product as the chunk loop's input,
+    and XLA's layout assignment picks a lane-padded conv layout for that
+    buffer — measured 21.5 GB for a 1 GB clip at B=8 (BASELINE.md); an
+    optimization_barrier does not prevent the padded layout (probed)."""
     n = x.shape[0]
     limit = MAX_FULLRES_FRAMES_PER_DISPATCH
+
+    def f(xc):
+        if scale is not None:
+            xc = xc * scale
+        return model.apply(variables, xc, method=method)
+
     if n <= limit:
-        return model.apply(variables, x, method=method)
+        return f(x)
     c = max(d for d in range(1, limit + 1) if n % d == 0)
     chunks = x.reshape(n // c, c, *x.shape[1:])
-    out = jax.lax.map(
-        lambda xc: model.apply(variables, xc, method=method), chunks
-    )
+    out = jax.lax.map(f, chunks)
     return out.reshape(n, *out.shape[2:])
 
 
-def _group_step_direct_batched(model, variables, frames_g):
+def _group_step_direct_batched(model, variables, frames_g, input_scale=None):
     """Direct-mode group step with the non-key work batched.
 
     In direct propagation every non-key frame depends only on the keyframe,
@@ -203,6 +214,8 @@ def _group_step_direct_batched(model, variables, frames_g):
     """
     B, k = frames_g.shape[:2]
     key_frame = frames_g[:, 0]
+    if input_scale is not None:
+        key_frame = key_frame * input_scale
     prop = model.apply(variables, key_frame, method="ref_propagated")
     key_scores = model.apply(variables, prop, method="ref_scores_from_propagated")
     if k == 1:
@@ -211,7 +224,7 @@ def _group_step_direct_batched(model, variables, frames_g):
         small = _chunked_apply(
             model, variables,
             frames_g.reshape(B * k, *frames_g.shape[2:]),
-            "downscale_for_flow",
+            "downscale_for_flow", scale=input_scale,
         )
         small = small.reshape(B, k, *small.shape[1:])
         cur_small = small[:, 1:].reshape(B * (k - 1), *small.shape[2:])
@@ -232,7 +245,7 @@ def _group_step_direct_batched(model, variables, frames_g):
         return ref_all
     upd = _chunked_apply(
         model, variables, frames_g.reshape(B * k, *frames_g.shape[2:]),
-        "update_scores",
+        "update_scores", scale=input_scale,
     )
     fused = model.apply(
         variables, ref_all.reshape(B * k, *ref_all.shape[2:]), upd, method="fuse"
@@ -240,7 +253,8 @@ def _group_step_direct_batched(model, variables, frames_g):
     return fused.reshape(B, k, *fused.shape[1:])
 
 
-def _group_step(model, variables, frames_g, propagate: str, remat: bool = False):
+def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
+                input_scale=None):
     """One keyframe group: frames_g (B, k, H, W, 3) -> logits (B, k, h, w, C).
 
     Step 0 is the keyframe (reference branch runs); steps 1..k-1 propagate
@@ -257,9 +271,11 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False)
     what remat exists to avoid.
     """
     if propagate == "direct" and not remat:
-        return _group_step_direct_batched(model, variables, frames_g)
+        return _group_step_direct_batched(model, variables, frames_g, input_scale)
     B, k = frames_g.shape[:2]
     key_frame = frames_g[:, 0]
+    if input_scale is not None:
+        key_frame = key_frame * input_scale
 
     def key_fwd(v, frame):
         prop = model.apply(v, frame, method="ref_propagated")
@@ -287,7 +303,9 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False)
     # the next step's 'anchor')
     if k > 1 and model.family in ("dff", "accel"):
         flat = frames_g.reshape(B * k, *frames_g.shape[2:])
-        small = _chunked_apply(model, variables, flat, "downscale_for_flow")
+        small = _chunked_apply(
+            model, variables, flat, "downscale_for_flow", scale=input_scale
+        )
         small = small.reshape(B, k, *small.shape[1:])
 
     outs = [frame_output(variables, ref_scores, key_frame)]
@@ -295,6 +313,8 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False)
     carry = prop
     for i in range(1, k):
         cur = frames_g[:, i]
+        if input_scale is not None:
+            cur = cur * input_scale
         warped, ref_s = prop_step(
             variables, carry, small[:, i], small[:, anchor_i]
         )
@@ -313,6 +333,7 @@ def clip_logits(
     interval: int,
     propagate: str = "incremental",
     remat: bool = False,
+    input_scale=None,
 ) -> jnp.ndarray:
     """clip (B, F, H, W, 3) normalized, F % interval == 0 ->
     stride-level logits (B, F, h, w, C).
@@ -320,6 +341,11 @@ def clip_logits(
     Scans over keyframe groups; the group interior is unrolled (interval is
     static and small) so there is no key/non-key lax.cond and the backbone
     runs exactly once per group (SURVEY.md §7 hard part 3).
+
+    ``input_scale`` (scalar or None) multiplies each frame at its point of
+    consumption instead of requiring the caller to materialize
+    ``clip * scale`` — see ``_chunked_apply`` for why that matters at large
+    clip batches.
     """
     B, F, H, W, _ = clip.shape
     k = int(interval)
@@ -330,11 +356,13 @@ def clip_logits(
     groups = clip.reshape(B, G, k, H, W, 3).transpose(1, 0, 2, 3, 4, 5)
 
     if G == 1:
-        out = _group_step(model, variables, groups[0], propagate, remat)
+        out = _group_step(model, variables, groups[0], propagate, remat,
+                          input_scale)
         return out.reshape(B, F, *out.shape[2:])
 
     def body(carry, frames_g):
-        return carry, _group_step(model, variables, frames_g, propagate, remat)
+        return carry, _group_step(model, variables, frames_g, propagate,
+                                  remat, input_scale)
 
     _, outs = jax.lax.scan(body, 0, groups)  # (G, B, k, h, w, C)
     outs = outs.transpose(1, 0, 2, 3, 4, 5)
@@ -349,6 +377,7 @@ def clip_predictions(
     propagate: str = "incremental",
     full_res: bool = True,
     upsample: str = "bilinear_logits",
+    input_scale=None,
 ) -> jnp.ndarray:
     """clip -> per-frame argmax class maps (B, F, H, W) uint8.
 
@@ -363,7 +392,8 @@ def clip_predictions(
     the class map — cheaper with a small boundary-pixel mIoU cost; a
     serving knob, not the eval default.
     """
-    logits = clip_logits(model, variables, clip, interval, propagate)
+    logits = clip_logits(model, variables, clip, interval, propagate,
+                         input_scale=input_scale)
     B, F = logits.shape[:2]
     if not full_res:
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)

@@ -97,17 +97,22 @@ def _init_variables(model, H, W):
 
 
 def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
-    """step(variables, input) -> array. Returns seconds per step.
+    """step(variables, input, scale) -> array. Returns seconds per step.
 
-    Scans ``step`` over scaled copies of ``base`` inside one jitted program;
-    the per-call ``scales`` argument is fresh random data so no two calls
-    are identical (defeats any remote result caching).
+    Scans ``step`` over ``base`` with per-step scalar scales inside one
+    jitted program; the per-call ``scales`` argument is fresh random data so
+    no two calls are identical (defeats any remote result caching). The
+    scale is passed INTO the step (not pre-multiplied onto ``base``): a
+    whole-clip ``base * s`` in the scan body gets hoisted and staged in a
+    lane-padded conv layout — the measured B=8 compile-time OOM
+    (BASELINE.md). Steps apply it at the point of consumption
+    (``input_scale`` in the clip pipeline), where it fuses into the convs.
     """
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def run_n(variables, base, scales, n):
         def body(acc, s):
-            out = step(variables, base * s)
+            out = step(variables, base, s)
             return acc + jnp.sum(out.astype(jnp.int32)), ()
 
         acc, _ = jax.lax.scan(body, jnp.int32(0), scales, length=n)
@@ -267,11 +272,13 @@ def main():
     base_vars = _init_variables(base_model, H, W)
     frame = jnp.asarray(rng.standard_normal((B, H, W, 3)), in_dtype)
 
-    def per_frame(variables, image):
+    def per_frame(variables, image, scale=None):
         # same fused upsample+argmax serving tail as the subject
         # (clip_predictions dispatches identically) — apples-to-apples
         from accel_tpu.ops.upsample_argmax import upsample_argmax_or_oracle
 
+        if scale is not None:
+            image = image * scale
         logits = base_model.apply(variables, image, method="ref_propagated")
         return upsample_argmax_or_oracle(logits, (H, W))
 
@@ -284,8 +291,9 @@ def main():
         variables = _init_variables(model, H, W)
         clip = jnp.asarray(rng.standard_normal((B, k, H, W, 3)), in_dtype)
 
-        def run_clip(variables, clip):
-            return clip_predictions(model, variables, clip, k, "direct")
+        def run_clip(variables, clip, scale=None):
+            return clip_predictions(model, variables, clip, k, "direct",
+                                    input_scale=scale)
 
         t = _slope_time(run_clip, variables, clip, verbose=args.verbose)
         return (B * k) / t, _flops_of(run_clip, variables, clip)

@@ -252,3 +252,24 @@ def test_chunked_group_step_is_exact(tiny_accel, monkeypatch):
     monkeypatch.setattr(pl, "MAX_FULLRES_FRAMES_PER_DISPATCH", 2)
     chunked = clip_logits(m, variables, clip, interval=4, propagate="direct")
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref), atol=1e-6)
+
+
+def test_input_scale_matches_premultiplied_clip(tiny_accel):
+    """clip_logits(clip, input_scale=s) must equal clip_logits(clip * s):
+    the scale is applied at every point of consumption instead of
+    materializing the product (the bench harness relies on this to avoid
+    staging a whole scaled clip — the measured B=8 OOM, BASELINE.md).
+    Covers the batched direct path, the sequential incremental path, and
+    the remat'd direct path."""
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 128, 128, 3)) * 0.1
+    s = jnp.float32(1.37)
+    for propagate, remat in (("direct", False), ("incremental", False),
+                             ("direct", True)):
+        ref = clip_logits(m, variables, clip * s, 4, propagate, remat)
+        out = clip_logits(m, variables, clip, 4, propagate, remat,
+                          input_scale=s)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"propagate={propagate} remat={remat}",
+        )

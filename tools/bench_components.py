@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--head-channels", type=int, default=1024)
     ap.add_argument("--update-depth", type=int, default=18)
+    ap.add_argument("--feat-stride", type=int, default=16,
+                    help="backbone output stride (16 or 8)")
     args = ap.parse_args()
 
     from accel_tpu.models.accel import AccelNet
@@ -72,13 +74,14 @@ def main():
     from accel_tpu.ops.warp_pallas import warp_pallas_fwd
 
     H, W = args.height, args.width
-    hf, wf = H // 16, W // 16
+    fs = args.feat_stride
+    hf, wf = H // fs, W // fs
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
 
     model = AccelNet(
         family="accel", ref_depth=101, update_depth=args.update_depth,
-        num_classes=19, feat_stride=16, head_channels=args.head_channels,
+        num_classes=19, feat_stride=fs, head_channels=args.head_channels,
         dtype=jnp.bfloat16, use_pallas_warp=on_tpu,
     )
     cur = jnp.zeros((1, 128, 128, 3), jnp.float32)
@@ -129,7 +132,7 @@ def main():
         lambda v, b: jnp.argmax(resize_bilinear(b, (H, W)), -1).astype(jnp.uint8), score
     )
 
-    print(f"\n== component times @ {H}x{W} (ms) ==")
+    print(f"\n== component times @ {H}x{W} os{fs} (ms) ==")
     for k, v in results.items():
         print(f"{k:32s} {v * 1e3:8.3f}")
 

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Microbench: dilated 3x3 conv lowering on TPU at os8 shapes.
+
+The os8 update branch (R18: layer3 d=2, layer4 d=4, fc6 d=6 at 128x256)
+runs at ~107 TF/s while the R101-os8 baseline hits ~142 TF/s. This times
+each dilated conv shape three ways:
+
+  direct — conv_general_dilated with rhs_dilation=d (what flax Conv emits)
+  s2b    — space-to-batch: split the input into d*d phase grids, run a
+           dense 3x3 conv on all phases batched, re-interleave (exact for
+           stride-1 dilated convs; turns one dilated conv into a dense conv
+           at d^2 x batch, 1/d^2 spatial)
+  dense  — same-FLOPs dense 3x3 conv (upper bound / reference rate)
+
+Prints ms and TF/s per arm per shape.
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def slope_time(fn, *args, n_lo=1, n_hi=16):
+    @functools.partial(jax.jit, static_argnums=(len(args) + 1,))
+    def run_n(*a):
+        *arrs, scales, n = a
+
+        def body(acc, s):
+            out = fn(*[x * s for x in arrs[:1]], *arrs[1:])
+            return acc + jnp.sum(out.astype(jnp.float32)), ()
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), scales, length=n)
+        return acc
+
+    rng = np.random.default_rng(int(time.time() * 1e3) % 2**31)
+
+    def timed(n):
+        scales = jnp.asarray(rng.uniform(0.9, 1.1, (n,)), jnp.float32)
+        t0 = time.perf_counter()
+        float(run_n(*args, scales, n))
+        return time.perf_counter() - t0
+
+    timed(n_lo)
+    timed(n_hi)
+    t_lo = min(timed(n_lo) for _ in range(2))
+    t_hi = min(timed(n_hi) for _ in range(2))
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+
+
+def conv_direct(x, w, d):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(d, d), (d, d)],
+        rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def conv_s2b(x, w, d):
+    """Exact dilated conv via phase decomposition: subsample into d*d phase
+    grids, dense 3x3 conv with SAME padding per phase, re-interleave. H,W
+    are zero-padded up to multiples of d and the output cropped — identical
+    to the zero-padded dilated conv."""
+    n, h0, w0, c = x.shape
+    o = w.shape[-1]
+    h = -(-h0 // d) * d
+    w_ = -(-w0 // d) * d
+    if (h, w_) != (h0, w0):
+        x = jnp.pad(x, ((0, 0), (0, h - h0), (0, w_ - w0), (0, 0)))
+    # (N, H/d, d, W/d, d, C) -> (N, d, d, H/d, W/d, C)
+    xp = x.reshape(n, h // d, d, w_ // d, d, c).transpose(0, 2, 4, 1, 3, 5)
+    xp = xp.reshape(n * d * d, h // d, w_ // d, c)
+    y = jax.lax.conv_general_dilated(
+        xp, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    y = y.reshape(n, d, d, h // d, w_ // d, o).transpose(0, 3, 1, 4, 2, 5)
+    return y.reshape(n, h, w_, o)[:, :h0, :w0]
+
+
+def conv_dense(x, w, d):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def main():
+    if os.environ.get("ACCEL_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ACCEL_PLATFORM"])
+    try:
+        from accel_tpu.utils.cache import setup_compile_cache
+
+        setup_compile_cache()
+    except Exception:
+        pass
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+    # (H, W, Cin, Cout, dilation) — the os8 update-branch hot shapes at
+    # 1024x2048 input, plus the os16 layer4 shape for contrast
+    shapes = [
+        (128, 256, 256, 256, 2),   # R18 layer3 @ os8
+        (128, 256, 512, 512, 4),   # R18 layer4 @ os8  (the big one)
+        (128, 256, 512, 1024, 6),  # fc6 @ os8 (R18 head)
+        (128, 256, 2048, 1024, 6), # fc6 @ os8 (R101 head)
+        (128, 256, 1024, 256, 4),  # R101 layer4 bottleneck 3x3 inner @ os8
+        (64, 128, 512, 512, 2),    # R18 layer4 @ os16 (contrast)
+    ]
+    verify = jax.default_backend() != "tpu"
+    print(f"backend={jax.default_backend()} B={B}")
+    print(f"{'shape':36s} {'direct':>14s} {'s2b':>14s} {'dense':>14s}")
+    for h, w_, ci, co, d in shapes:
+        x = jnp.asarray(rng.standard_normal((B, h, w_, ci)), jnp.bfloat16)
+        k = jnp.asarray(
+            rng.standard_normal((3, 3, ci, co)) / np.sqrt(9 * ci), jnp.bfloat16
+        )
+        tflop = 2 * B * h * w_ * 9 * ci * co / 1e12
+        if verify:
+            a = np.asarray(conv_direct(x, k, d), np.float32)
+            b = np.asarray(conv_s2b(x, k, d), np.float32)
+            err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+            print(f"  s2b exactness rel-err {err:.2e}")
+        row = f"({h}x{w_}, {ci}->{co}, d={d})"
+        cells = []
+        for fn in (conv_direct, conv_s2b, conv_dense):
+            t = slope_time(functools.partial(fn, d=d), x, k)
+            cells.append(f"{t*1e3:6.2f}ms {tflop/t:5.0f}TF/s")
+        print(f"{row:36s} {cells[0]:>14s} {cells[1]:>14s} {cells[2]:>14s}")
+
+
+if __name__ == "__main__":
+    main()
