@@ -5,6 +5,11 @@ import os
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    # XLA:CPU in-process collectives SIGABRT the process if a participant is
+    # >40s late to a rendezvous; on 1-CPU hosts the 8 device programs
+    # time-share one core and can exceed that (observed in dryrun_multichip)
+    + " --xla_cpu_collective_timeout_seconds=1200"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
