@@ -85,6 +85,11 @@ class AccelNet(nn.Module):
     # network.quantize_update in cfg).
     quantize_ref: bool = False
     quantize_update: bool = False
+    # 'direct' | 's2b': lowering for the dilated (atrous) convs in both
+    # DeepLab branches — space-to-batch phase decomposition (ops/dilated.py;
+    # exact, checkpoint-compatible). A serving/throughput knob for the os8
+    # ladder; measure per backend with tools/bench_dilated_conv.py.
+    dilated_conv: str = "auto"
 
     @property
     def warp_tensor(self) -> str:
@@ -103,6 +108,7 @@ class AccelNet(nn.Module):
             stem=self.stem,
             dtype=self.dtype,
             quantize=self.quantize_ref,
+            dilated_conv=self.dilated_conv,
             name="ref_net",
         )
         if self.family == "accel":
@@ -116,6 +122,7 @@ class AccelNet(nn.Module):
                 stem=self.stem,
                 dtype=self.dtype,
                 quantize=self.quantize_update,
+                dilated_conv=self.dilated_conv,
                 name="update_net",
             )
             self.fusion = nn.Conv(
@@ -262,4 +269,5 @@ def build_model(cfg) -> AccelNet:
         scale_field_norm=str(net.get("scale_field_norm", "none") or "none"),
         quantize_ref=bool(net.get("quantize_ref", False)),
         quantize_update=bool(net.get("quantize_update", False)),
+        dilated_conv=str(net.get("dilated_conv", "auto") or "auto"),
     )

@@ -28,11 +28,12 @@ class DeepLabHead(nn.Module):
     head_dilation: int = 6
     dtype: Any = jnp.bfloat16
     quantize: bool = False
+    dilated_conv: str = "auto"
 
     @nn.compact
     def __call__(self, feat, mode: str = "full"):
         """mode: 'full' = fc6+score, 'scores' = score only, 'features' = fc6 only."""
-        from accel_tpu.ops.quant import int8_conv_general_dilated
+        from accel_tpu.models.resnet import _pick_conv_fn
 
         x = feat
         if mode in ("full", "features"):
@@ -41,8 +42,8 @@ class DeepLabHead(nn.Module):
                 self.head_channels, (3, 3),
                 kernel_dilation=(d, d), padding=[(d, d), (d, d)],
                 dtype=self.dtype, name="fc6",
-                conv_general_dilated=(
-                    int8_conv_general_dilated if self.quantize else None
+                conv_general_dilated=_pick_conv_fn(
+                    self.quantize, self.dilated_conv, d
                 ),
             )(x)
             x = nn.relu(x)
@@ -69,6 +70,8 @@ class DeepLab(nn.Module):
     # int8 serving path (residual stages + fc6; stem and the 19-ch score
     # head stay float) — see ops/quant.py
     quantize: bool = False
+    # 'direct' | 's2b': lowering for dilated convs (ops/dilated.py)
+    dilated_conv: str = "auto"
 
     def setup(self):
         self.backbone = DilatedResNet(
@@ -78,6 +81,7 @@ class DeepLab(nn.Module):
             stem=self.stem,
             dtype=self.dtype,
             quantize=self.quantize,
+            dilated_conv=self.dilated_conv,
         )
         self.head = DeepLabHead(
             num_classes=self.num_classes,
@@ -85,6 +89,7 @@ class DeepLab(nn.Module):
             head_dilation=self.head_dilation,
             dtype=self.dtype,
             quantize=self.quantize,
+            dilated_conv=self.dilated_conv,
         )
 
     def __call__(self, image, train: bool = False, mode: str = "full"):

@@ -19,6 +19,10 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from accel_tpu.ops.dilated import (
+    auto_conv_general_dilated,
+    s2b_conv_general_dilated,
+)
 from accel_tpu.ops.quant import int8_conv_general_dilated
 
 STAGE_PLANS = {
@@ -73,6 +77,22 @@ def make_norm(norm: str, dtype, train: bool):
     raise ValueError(f"unknown norm {norm}")
 
 
+def _pick_conv_fn(quantize: bool, dilated_conv: str, dilation: int):
+    """Conv implementation for a block: int8 serving quantization takes
+    precedence; 's2b' routes dilated 3x3 convs through the space-to-batch
+    lowering (ops/dilated.py — exact, checkpoint-compatible; ineligible
+    convs fall back to the plain lowering inside the hook); 'auto' (the
+    default) applies s2b only inside the measured TPU win region."""
+    if quantize:
+        return int8_conv_general_dilated
+    if dilation > 1:
+        if dilated_conv == "s2b":
+            return s2b_conv_general_dilated
+        if dilated_conv == "auto":
+            return auto_conv_general_dilated
+    return None
+
+
 class BasicBlock(nn.Module):
     width: int
     stride: int = 1
@@ -80,11 +100,12 @@ class BasicBlock(nn.Module):
     norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
     quantize: bool = False
+    dilated_conv: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = make_norm(self.norm, self.dtype, train)
-        conv_fn = int8_conv_general_dilated if self.quantize else None
+        conv_fn = _pick_conv_fn(self.quantize, self.dilated_conv, self.dilation)
         residual = x
         y = nn.Conv(
             self.width, (3, 3), strides=(self.stride, self.stride),
@@ -120,11 +141,12 @@ class Bottleneck(nn.Module):
     norm: str = "frozenbn"
     dtype: Any = jnp.bfloat16
     quantize: bool = False
+    dilated_conv: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = make_norm(self.norm, self.dtype, train)
-        conv_fn = int8_conv_general_dilated if self.quantize else None
+        conv_fn = _pick_conv_fn(self.quantize, self.dilated_conv, self.dilation)
         out_ch = self.width * 4
         residual = x
         y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
@@ -199,6 +221,8 @@ class DilatedResNet(nn.Module):
     # accuracy). Checkpoint-compatible — same param tree, weights are
     # quantized at trace time (ops/quant.py).
     quantize: bool = False
+    # 'direct' | 's2b': lowering for the dilated stage convs (ops/dilated.py)
+    dilated_conv: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -243,6 +267,7 @@ class DilatedResNet(nn.Module):
                     norm=self.norm,
                     dtype=self.dtype,
                     quantize=self.quantize,
+                    dilated_conv=self.dilated_conv,
                     name=f"layer{si + 1}_block{bi}",
                 )(x, train=train)
         return x

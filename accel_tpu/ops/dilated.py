@@ -1,0 +1,138 @@
+"""Space-to-batch lowering for atrous (dilated) convolutions.
+
+The dilated 3x3 convs of the DeepLab recipe (reference:
+``deeplab/symbols/resnet_v1_101_deeplab.py`` dilated stages + atrous fc6 —
+SURVEY.md §2 "DeepLab symbol") lower on TPU as `rhs_dilation` convs. XLA's
+direct lowering pays for the dilation holes in MXU tiling; the classic
+space-to-batch rewrite is exact for stride-1 odd-kernel dilated convs:
+
+    subsample the input into d*d phase grids  (N*d*d, H/d, W/d, C)
+    run a DENSE KxK conv on all phases in one batch
+    re-interleave the outputs
+
+turning one dilated conv into a dense conv at d^2 x batch and 1/d^2
+spatial — the MXU-friendly shape. Wired through flax's
+``nn.Conv(conv_general_dilated=...)`` hook, so the parameter tree (and
+every checkpoint) is unchanged; selection is a serving/arch knob
+(``network.dilated_conv: s2b``), not a semantic change. Falls back to the
+plain lowering for any conv the rewrite doesn't cover.
+
+Measure before enabling: `tools/bench_dilated_conv.py` times direct vs s2b
+vs same-FLOPs dense per hot shape on the current backend. Measured on TPU
+v5e (B=4, bf16, 2026-08-18; TF/s direct vs s2b): 512ch d=4 @128x256
+105->131, 1024->256 d=4 @128x256 80->96, 512ch d=2 @64x128 136->189 — but
+256ch d=2 @128x256 111->103 and d=6 @128x256 (non-divisible, padded)
+145->110. The winners share: d | H, d | W, and per-phase spatial
+(H/d)*(W/d) <= 2048. `auto` mode encodes exactly that boundary.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# `auto` applies the rewrite only when d divides H and W (no pad waste)
+# and the per-phase grid is at most this many pixels — the measured
+# win region on TPU v5e (see module docstring / tools/bench_dilated_conv.py).
+AUTO_MAX_PHASE_SPATIAL = 2048
+
+
+def _as_pairs(padding):
+    try:
+        return tuple((int(lo), int(hi)) for lo, hi in padding)
+    except TypeError:
+        return None
+
+
+def s2b_conv_general_dilated(
+    lhs,
+    rhs,
+    window_strides,
+    padding,
+    lhs_dilation=None,
+    rhs_dilation=None,
+    dimension_numbers=None,
+    feature_group_count=1,
+    precision=None,
+    _auto_policy=False,
+):
+    """Drop-in for ``lax.conv_general_dilated`` (flax ``nn.Conv`` hook
+    signature) that lowers stride-1 "same"-padded dilated convs via
+    space-to-batch phase decomposition. Exact (same MACs per output pixel,
+    zero padding included); differentiable (reshape/transpose/conv only).
+
+    Rewrite applies when: rank-4 NHWC/HWIO, window_strides (1,1), no input
+    dilation, feature_group_count 1, odd square kernel, rhs_dilation
+    (d, d) with d > 1, and padding == d*(K-1)/2 per side (the "same"
+    padding every DeepLab atrous conv uses). Anything else falls through to
+    the plain lowering unchanged. With ``_auto_policy`` the measured TPU
+    win-region gate (divisible spatial + phase grid <= AUTO_MAX_PHASE_SPATIAL)
+    is applied on top.
+    """
+    def fallback():
+        return lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding,
+            lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count, precision=precision,
+        )
+
+    if lhs.ndim != 4 or rhs.ndim != 4 or feature_group_count != 1:
+        return fallback()
+    d_pair = tuple(rhs_dilation) if rhs_dilation is not None else (1, 1)
+    if d_pair[0] != d_pair[1] or d_pair[0] <= 1:
+        return fallback()
+    d = int(d_pair[0])
+    if tuple(window_strides) != (1, 1):
+        return fallback()
+    if lhs_dilation is not None and tuple(lhs_dilation) != (1, 1):
+        return fallback()
+    dn = lax.conv_dimension_numbers(lhs.shape, rhs.shape, dimension_numbers)
+    nhwc = lax.conv_dimension_numbers(lhs.shape, rhs.shape, ("NHWC", "HWIO", "NHWC"))
+    if dn != nhwc:
+        return fallback()
+    kh, kw = rhs.shape[0], rhs.shape[1]
+    if kh != kw or kh % 2 == 0:
+        return fallback()
+    pad = _as_pairs(padding)
+    same = d * (kh - 1) // 2
+    if pad != ((same, same), (same, same)):
+        return fallback()
+
+    n, h0, w0, c = lhs.shape
+    if _auto_policy and (
+        h0 % d != 0
+        or w0 % d != 0
+        or (h0 // d) * (w0 // d) > AUTO_MAX_PHASE_SPATIAL
+    ):
+        return fallback()
+    o = rhs.shape[-1]
+    h = -(-h0 // d) * d
+    w = -(-w0 // d) * d
+    x = lhs
+    if (h, w) != (h0, w0):
+        # zero-fill up to a multiple of d; contributions from the fill are
+        # zero, exactly like the dilated conv's own zero padding — cropped
+        # back below
+        x = jnp.pad(x, ((0, 0), (0, h - h0), (0, w - w0), (0, 0)))
+    # (N, H/d, d, W/d, d, C) -> (N*d*d, H/d, W/d, C): each of the d*d
+    # phase grids sees the dilated taps as DENSE neighbors
+    x = x.reshape(n, h // d, d, w // d, d, c).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(n * d * d, h // d, w // d, c)
+    p = (kh - 1) // 2
+    y = lax.conv_general_dilated(
+        x, rhs, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    y = y.reshape(n, d, d, h // d, w // d, o).transpose(0, 3, 1, 4, 2, 5)
+    return y.reshape(n, h, w, o)[:, :h0, :w0]
+
+
+def auto_conv_general_dilated(*args, **kwargs):
+    """s2b with the measured TPU win-region gate: rewrite only when the
+    dilation divides H and W and the per-phase grid is small enough to have
+    measured faster than the direct lowering (module docstring table);
+    everything else takes the plain lowering. Safe as a global default —
+    exact everywhere, faster where measured."""
+    return s2b_conv_general_dilated(*args, **kwargs, _auto_policy=True)

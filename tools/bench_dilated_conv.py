@@ -34,7 +34,7 @@ def slope_time(fn, *args, n_lo=1, n_hi=16):
         *arrs, scales, n = a
 
         def body(acc, s):
-            out = fn(*[x * s for x in arrs[:1]], *arrs[1:])
+            out = fn(*[x * s.astype(x.dtype) for x in arrs[:1]], *arrs[1:])
             return acc + jnp.sum(out.astype(jnp.float32)), ()
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), scales, length=n)
