@@ -85,7 +85,7 @@ class AccelNet(nn.Module):
     # network.quantize_update in cfg).
     quantize_ref: bool = False
     quantize_update: bool = False
-    # 'direct' | 's2b': lowering for the dilated (atrous) convs in both
+    # 'direct' | 's2b' | 'auto': lowering for the dilated (atrous) convs in both
     # DeepLab branches — space-to-batch phase decomposition (ops/dilated.py;
     # exact, checkpoint-compatible). A serving/throughput knob for the os8
     # ladder; measure per backend with tools/bench_dilated_conv.py.

@@ -70,7 +70,7 @@ class DeepLab(nn.Module):
     # int8 serving path (residual stages + fc6; stem and the 19-ch score
     # head stay float) — see ops/quant.py
     quantize: bool = False
-    # 'direct' | 's2b': lowering for dilated convs (ops/dilated.py)
+    # 'direct' | 's2b' | 'auto': lowering for dilated convs (ops/dilated.py)
     dilated_conv: str = "auto"
 
     def setup(self):

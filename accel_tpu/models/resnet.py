@@ -221,7 +221,7 @@ class DilatedResNet(nn.Module):
     # accuracy). Checkpoint-compatible — same param tree, weights are
     # quantized at trace time (ops/quant.py).
     quantize: bool = False
-    # 'direct' | 's2b': lowering for the dilated stage convs (ops/dilated.py)
+    # 'direct' | 's2b' | 'auto': lowering for the dilated stage convs (ops/dilated.py)
     dilated_conv: str = "auto"
 
     @nn.compact
