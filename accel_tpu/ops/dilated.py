@@ -56,6 +56,7 @@ def s2b_conv_general_dilated(
     feature_group_count=1,
     precision=None,
     _auto_policy=False,
+    _factor=None,
 ):
     """Drop-in for ``lax.conv_general_dilated`` (flax ``nn.Conv`` hook
     signature) that lowers stride-1 "same"-padded dilated convs via
@@ -69,6 +70,14 @@ def s2b_conv_general_dilated(
     the plain lowering unchanged. With ``_auto_policy`` the measured TPU
     win-region gate (divisible spatial + phase grid <= AUTO_MAX_PHASE_SPATIAL)
     is applied on top.
+
+    ``_factor`` decomposes by f | d instead of the full d: f*f phase grids
+    each carrying the residual dilation d/f (f == d gives dense phases).
+    A tap at offset ±d in image space lands at offset ±d/f in phase space,
+    so the per-phase conv is the same kernel at dilation d/f with its own
+    "same" padding — exactness is unchanged. Useful when d doesn't divide
+    H/W but a factor of it does, or when full decomposition makes the
+    per-phase grid too small to tile well (fc6's d=6).
     """
     def fallback():
         return lax.conv_general_dilated(
@@ -100,32 +109,38 @@ def s2b_conv_general_dilated(
     if pad != ((same, same), (same, same)):
         return fallback()
 
+    f = d if _factor is None else int(_factor)
+    if f <= 1 or d % f != 0:
+        return fallback()
+    r = d // f  # residual dilation carried by each phase grid
+
     n, h0, w0, c = lhs.shape
     if _auto_policy and (
-        h0 % d != 0
-        or w0 % d != 0
-        or (h0 // d) * (w0 // d) > AUTO_MAX_PHASE_SPATIAL
+        h0 % f != 0
+        or w0 % f != 0
+        or (h0 // f) * (w0 // f) > AUTO_MAX_PHASE_SPATIAL
     ):
         return fallback()
     o = rhs.shape[-1]
-    h = -(-h0 // d) * d
-    w = -(-w0 // d) * d
+    h = -(-h0 // f) * f
+    w = -(-w0 // f) * f
     x = lhs
     if (h, w) != (h0, w0):
-        # zero-fill up to a multiple of d; contributions from the fill are
+        # zero-fill up to a multiple of f; contributions from the fill are
         # zero, exactly like the dilated conv's own zero padding — cropped
         # back below
         x = jnp.pad(x, ((0, 0), (0, h - h0), (0, w - w0), (0, 0)))
-    # (N, H/d, d, W/d, d, C) -> (N*d*d, H/d, W/d, C): each of the d*d
-    # phase grids sees the dilated taps as DENSE neighbors
-    x = x.reshape(n, h // d, d, w // d, d, c).transpose(0, 2, 4, 1, 3, 5)
-    x = x.reshape(n * d * d, h // d, w // d, c)
-    p = (kh - 1) // 2
+    # (N, H/f, f, W/f, f, C) -> (N*f*f, H/f, W/f, C): each of the f*f
+    # phase grids sees the dilated taps at stride d/f (dense when f == d)
+    x = x.reshape(n, h // f, f, w // f, f, c).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(n * f * f, h // f, w // f, c)
+    p = r * (kh - 1) // 2
     y = lax.conv_general_dilated(
         x, rhs, (1, 1), ((p, p), (p, p)),
+        rhs_dilation=(r, r) if r > 1 else None,
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
     )
-    y = y.reshape(n, d, d, h // d, w // d, o).transpose(0, 3, 1, 4, 2, 5)
+    y = y.reshape(n, f, f, h // f, w // f, o).transpose(0, 3, 1, 4, 2, 5)
     return y.reshape(n, h, w, o)[:, :h0, :w0]
 
 

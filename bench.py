@@ -132,10 +132,19 @@ def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
     # compile both program lengths first
     timed(n_lo)
     timed(n_hi)
-    # measure (fresh scales -> fresh computation)
-    t_lo = min(timed(n_lo) for _ in range(2))
-    t_hi = min(timed(n_hi) for _ in range(2))
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+    # measure (fresh scales -> fresh computation). Tunnel round-trip
+    # latency occasionally spikes by 0.3-0.7s on a single dispatch (observed
+    # 2026-08-18: an n=1 run at 0.84s vs the 0.2s steady state), which can
+    # make t_lo exceed t_hi and turn the slope into garbage — retry the
+    # whole pair until the slope is positive.
+    for _ in range(4):
+        t_lo = min(timed(n_lo) for _ in range(3))
+        t_hi = min(timed(n_hi) for _ in range(3))
+        if t_hi > t_lo:
+            return (t_hi - t_lo) / (n_hi - n_lo)
+    # persistent spikes: amortized per-step time of the long program
+    # (includes one dispatch RTT — a conservative upper bound, never nonsense)
+    return t_hi / n_hi
 
 
 def measure_streaming(model, H, W, k, rng, n_cycles=4):

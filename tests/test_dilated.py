@@ -90,6 +90,40 @@ def test_fallback_paths_match_lax(kwargs):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize(
+    "h,w_,d,f",
+    [
+        (16, 24, 6, 2),   # residual dilation 3
+        (18, 24, 6, 3),   # residual dilation 2
+        (16, 24, 4, 2),   # residual dilation 2
+        (13, 22, 6, 2),   # non-divisible by f (zero-fill + crop)
+    ],
+)
+def test_s2b_partial_factor_matches_direct(h, w_, d, f):
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, h, w_, 5)), jnp.float32)
+    ker = jnp.asarray(rng.standard_normal((3, 3, 5, 7)) * 0.2, jnp.float32)
+    ref = _direct(x, ker, d)
+    got = s2b_conv_general_dilated(
+        x, ker, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), _factor=f,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_s2b_non_divisor_factor_falls_back():
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 12, 12, 4)), jnp.float32)
+    ker = jnp.asarray(rng.standard_normal((3, 3, 4, 4)) * 0.3, jnp.float32)
+    ref = _direct(x, ker, 3)
+    got = s2b_conv_general_dilated(
+        x, ker, (1, 1), [(3, 3), (3, 3)], rhs_dilation=(3, 3),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), _factor=2,  # 3 % 2 != 0
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_s2b_grad_matches_direct():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((1, 10, 14, 3)), jnp.float32)

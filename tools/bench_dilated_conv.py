@@ -56,43 +56,31 @@ def slope_time(fn, *args, n_lo=1, n_hi=16):
 
 
 def conv_direct(x, w, d):
+    # no preferred_element_type: matches what flax nn.Conv emits in the
+    # models (all arms measured the way they'd actually run)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(d, d), (d, d)],
         rhs_dilation=(d, d),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
-def conv_s2b(x, w, d):
-    """Exact dilated conv via phase decomposition: subsample into d*d phase
-    grids, dense 3x3 conv with SAME padding per phase, re-interleave. H,W
-    are zero-padded up to multiples of d and the output cropped — identical
-    to the zero-padded dilated conv."""
-    n, h0, w0, c = x.shape
-    o = w.shape[-1]
-    h = -(-h0 // d) * d
-    w_ = -(-w0 // d) * d
-    if (h, w_) != (h0, w0):
-        x = jnp.pad(x, ((0, 0), (0, h - h0), (0, w_ - w0), (0, 0)))
-    # (N, H/d, d, W/d, d, C) -> (N, d, d, H/d, W/d, C)
-    xp = x.reshape(n, h // d, d, w_ // d, d, c).transpose(0, 2, 4, 1, 3, 5)
-    xp = xp.reshape(n * d * d, h // d, w_ // d, c)
-    y = jax.lax.conv_general_dilated(
-        xp, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    y = y.reshape(n, d, d, h // d, w_ // d, o).transpose(0, 3, 1, 4, 2, 5)
-    return y.reshape(n, h, w_, o)[:, :h0, :w0]
+def conv_s2b(x, w, d, factor=None):
+    """The shipping rewrite (ops/dilated.py): phase decomposition by
+    ``factor`` (default d — dense phases), residual dilation d/factor."""
+    from accel_tpu.ops.dilated import s2b_conv_general_dilated
+
+    return s2b_conv_general_dilated(
+        x, w, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), _factor=factor,
+    )
 
 
 def conv_dense(x, w, d):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def main():
@@ -110,8 +98,8 @@ def main():
 
     rng = np.random.default_rng(0)
     B = args.batch
-    # (H, W, Cin, Cout, dilation) — the os8 update-branch hot shapes at
-    # 1024x2048 input, plus the os16 layer4 shape for contrast
+    # (H, W, Cin, Cout, dilation) — the dilated hot shapes at 1024x2048
+    # input: os8 stages/heads at 128x256, os16 at 64x128
     shapes = [
         (128, 256, 256, 256, 2),   # R18 layer3 @ os8
         (128, 256, 512, 512, 4),   # R18 layer4 @ os8  (the big one)
@@ -119,27 +107,36 @@ def main():
         (128, 256, 2048, 1024, 6), # fc6 @ os8 (R101 head)
         (128, 256, 1024, 256, 4),  # R101 layer4 bottleneck 3x3 inner @ os8
         (64, 128, 512, 512, 2),    # R18 layer4 @ os16 (contrast)
+        (64, 128, 2048, 1024, 6),  # fc6 @ os16 (R101 head)
+        (64, 128, 512, 1024, 6),   # fc6 @ os16 (R18 head)
     ]
     verify = jax.default_backend() != "tpu"
     print(f"backend={jax.default_backend()} B={B}")
-    print(f"{'shape':36s} {'direct':>14s} {'s2b':>14s} {'dense':>14s}")
     for h, w_, ci, co, d in shapes:
         x = jnp.asarray(rng.standard_normal((B, h, w_, ci)), jnp.bfloat16)
         k = jnp.asarray(
             rng.standard_normal((3, 3, ci, co)) / np.sqrt(9 * ci), jnp.bfloat16
         )
         tflop = 2 * B * h * w_ * 9 * ci * co / 1e12
+        # every factor of d (full decomposition = d itself), plus the
+        # direct and same-FLOPs-dense endpoints
+        factors = [f for f in range(2, d + 1) if d % f == 0]
+        arms = [("direct", functools.partial(conv_direct, d=d))]
+        arms += [
+            (f"s2b/f{f}", functools.partial(conv_s2b, d=d, factor=f))
+            for f in factors
+        ]
+        arms += [("dense", functools.partial(conv_dense, d=d))]
         if verify:
             a = np.asarray(conv_direct(x, k, d), np.float32)
-            b = np.asarray(conv_s2b(x, k, d), np.float32)
-            err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
-            print(f"  s2b exactness rel-err {err:.2e}")
-        row = f"({h}x{w_}, {ci}->{co}, d={d})"
-        cells = []
-        for fn in (conv_direct, conv_s2b, conv_dense):
-            t = slope_time(functools.partial(fn, d=d), x, k)
-            cells.append(f"{t*1e3:6.2f}ms {tflop/t:5.0f}TF/s")
-        print(f"{row:36s} {cells[0]:>14s} {cells[1]:>14s} {cells[2]:>14s}")
+            for f in factors:
+                b = np.asarray(conv_s2b(x, k, d, factor=f), np.float32)
+                err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+                print(f"  s2b/f{f} exactness rel-err {err:.2e}")
+        print(f"({h}x{w_}, {ci}->{co}, d={d})")
+        for name, fn in arms:
+            t = slope_time(fn, x, k)
+            print(f"    {name:9s} {t*1e3:7.2f}ms {tflop/t:6.0f}TF/s")
 
 
 if __name__ == "__main__":
