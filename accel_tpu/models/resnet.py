@@ -19,10 +19,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from accel_tpu.ops.dilated import (
-    auto_conv_general_dilated,
-    s2b_conv_general_dilated,
-)
+from accel_tpu.ops.dilated import s2b_conv_general_dilated
 from accel_tpu.ops.quant import int8_conv_general_dilated
 
 STAGE_PLANS = {
@@ -82,14 +79,13 @@ def _pick_conv_fn(quantize: bool, dilated_conv: str, dilation: int):
     precedence; 's2b' routes dilated 3x3 convs through the space-to-batch
     lowering (ops/dilated.py — exact, checkpoint-compatible; ineligible
     convs fall back to the plain lowering inside the hook); 'auto' (the
-    default) applies s2b only inside the measured TPU win region."""
+    default) is the measured per-backend policy — on TPU v5e the direct
+    rhs_dilation lowering won or tied every DeepLab hot shape (table in
+    ops/dilated.py), so auto resolves to the plain flax path."""
     if quantize:
         return int8_conv_general_dilated
-    if dilation > 1:
-        if dilated_conv == "s2b":
-            return s2b_conv_general_dilated
-        if dilated_conv == "auto":
-            return auto_conv_general_dilated
+    if dilation > 1 and dilated_conv == "s2b":
+        return s2b_conv_general_dilated
     return None
 
 

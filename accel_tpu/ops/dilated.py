@@ -18,12 +18,31 @@ every checkpoint) is unchanged; selection is a serving/arch knob
 plain lowering for any conv the rewrite doesn't cover.
 
 Measure before enabling: `tools/bench_dilated_conv.py` times direct vs s2b
-vs same-FLOPs dense per hot shape on the current backend. Measured on TPU
-v5e (B=4, bf16, 2026-08-18; TF/s direct vs s2b): 512ch d=4 @128x256
-105->131, 1024->256 d=4 @128x256 80->96, 512ch d=2 @64x128 136->189 — but
-256ch d=2 @128x256 111->103 and d=6 @128x256 (non-divisible, padded)
-145->110. The winners share: d | H, d | W, and per-phase spatial
-(H/d)*(W/d) <= 2048. `auto` mode encodes exactly that boundary.
+(all factors) vs same-FLOPs dense per hot shape on the current backend.
+Measured on TPU v5e (B=4, bf16, 2026-08-18), arms built exactly the way
+flax ``nn.Conv`` lowers them (no forced f32 accumulation), TF/s
+direct / best-s2b / dense:
+
+    128x256  256->256  d=2   127 /  99 / 132
+    128x256  512->512  d=4   109 / 111 / 125
+    128x256  512->1024 d=6   153 / 151 / 148
+    128x256 2048->1024 d=6   134 / 135 / 156
+    128x256 1024->256  d=4    84 /  82 /  94
+     64x128  512->512  d=2   165 / 142 / 254
+     64x128 2048->1024 d=6   115 / 116 / 152
+     64x128  512->1024 d=6   150 / 146 / 152
+
+s2b is neutral-to-losing on every DeepLab hot shape on this backend — the
+direct ``rhs_dilation`` lowering is already within ~2% of the best phase
+decomposition, and the real gap to same-FLOPs dense (up to 35% at
+64x128 d=2) is halo/tiling overhead that the rewrite doesn't recover. An
+earlier measurement that showed 20-40% s2b wins forced
+``preferred_element_type=f32`` on both arms, which disproportionately
+slows the direct dilated lowering — it did not reflect what the models
+run. Model knob ``network.dilated_conv: auto`` (the default) therefore
+resolves to the direct lowering on TPU; ``s2b`` (with ``_factor``) stays
+available as an explicit, exactness-tested knob for backends where the
+trade differs.
 """
 
 from __future__ import annotations
@@ -31,11 +50,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
-
-# `auto` applies the rewrite only when d divides H and W (no pad waste)
-# and the per-phase grid is at most this many pixels — the measured
-# win region on TPU v5e (see module docstring / tools/bench_dilated_conv.py).
-AUTO_MAX_PHASE_SPATIAL = 2048
 
 
 def _as_pairs(padding):
@@ -55,7 +69,6 @@ def s2b_conv_general_dilated(
     dimension_numbers=None,
     feature_group_count=1,
     precision=None,
-    _auto_policy=False,
     _factor=None,
 ):
     """Drop-in for ``lax.conv_general_dilated`` (flax ``nn.Conv`` hook
@@ -67,9 +80,7 @@ def s2b_conv_general_dilated(
     dilation, feature_group_count 1, odd square kernel, rhs_dilation
     (d, d) with d > 1, and padding == d*(K-1)/2 per side (the "same"
     padding every DeepLab atrous conv uses). Anything else falls through to
-    the plain lowering unchanged. With ``_auto_policy`` the measured TPU
-    win-region gate (divisible spatial + phase grid <= AUTO_MAX_PHASE_SPATIAL)
-    is applied on top.
+    the plain lowering unchanged.
 
     ``_factor`` decomposes by f | d instead of the full d: f*f phase grids
     each carrying the residual dilation d/f (f == d gives dense phases).
@@ -115,12 +126,6 @@ def s2b_conv_general_dilated(
     r = d // f  # residual dilation carried by each phase grid
 
     n, h0, w0, c = lhs.shape
-    if _auto_policy and (
-        h0 % f != 0
-        or w0 % f != 0
-        or (h0 // f) * (w0 // f) > AUTO_MAX_PHASE_SPATIAL
-    ):
-        return fallback()
     o = rhs.shape[-1]
     h = -(-h0 // f) * f
     w = -(-w0 // f) * f
@@ -144,10 +149,3 @@ def s2b_conv_general_dilated(
     return y.reshape(n, h, w, o)[:, :h0, :w0]
 
 
-def auto_conv_general_dilated(*args, **kwargs):
-    """s2b with the measured TPU win-region gate: rewrite only when the
-    dilation divides H and W and the per-phase grid is small enough to have
-    measured faster than the direct lowering (module docstring table);
-    everything else takes the plain lowering. Safe as a global default —
-    exact everywhere, faster where measured."""
-    return s2b_conv_general_dilated(*args, **kwargs, _auto_policy=True)
