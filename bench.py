@@ -333,6 +333,26 @@ def main():
     def extras_ok():
         return time.perf_counter() - t_start < args.extras_budget
 
+    # Mixed-stride rung of the os8 ladder: ref branch stays os8 (the
+    # baseline's quality config) but the every-frame update branch runs at
+    # os16 — its stride-16 scores are bilinearly resized onto the ref score
+    # grid inside the model (models/accel.py fusion path). The faithful
+    # os8 subject is FLOP-ratio capped at 4.026/1.956 = 2.06x; cutting
+    # update FLOPs is the only way past it.
+    mixed_fps = mixed_flops = None
+    if args.feat_stride == 8 and extras_ok():
+        mixed_model = AccelNet(
+            family="accel", ref_depth=101, update_depth=18, num_classes=19,
+            feat_stride=8, update_feat_stride=16, head_channels=1024,
+            head_dilation=6, dtype=jnp.bfloat16, use_pallas_warp=use_pallas,
+            warp_max_disp=8, quantize_ref=args.quantize,
+            quantize_update=args.quantize,
+        )
+        try:
+            mixed_fps, mixed_flops = measure_clip(mixed_model, B)
+        except Exception:
+            mixed_fps = None
+
     dff_fps = dff_flops = None
     if args.with_dff and extras_ok():
         dff_model = AccelNet(
@@ -373,6 +393,11 @@ def main():
                     "accel18_fast_vs_baseline": round(fast_fps / base_fps, 3),
                     **_mfu_fields("accel18_fast", fast_fps, fast_flops, B * k, backend)}
                    if fast_fps else {}),
+                **({"accel18_os8mixed_fps": round(mixed_fps, 3),
+                    "accel18_os8mixed_vs_baseline": round(mixed_fps / base_fps, 3),
+                    **_mfu_fields("accel18_os8mixed", mixed_fps, mixed_flops,
+                                  B * k, backend)}
+                   if mixed_fps else {}),
                 **({"dff_fps": round(dff_fps, 3),
                     "dff_vs_baseline": round(dff_fps / base_fps, 3),
                     **_mfu_fields("dff", dff_fps, dff_flops, B * k, backend)}
