@@ -31,6 +31,9 @@ def parse_args():
                    help="evaluate every annotated-frame offset 0..k-1 after "
                         "the keyframe (paper's mIoU-vs-offset curve, "
                         "SURVEY.md Appendix B)")
+    p.add_argument("--offsets", default=None,
+                   help="csv of KEY_FRAME_OFFSET values to evaluate (resume a "
+                        "partial --offset-sweep without redoing finished rows)")
     p.add_argument("--quantize", action="store_true",
                    help="int8 serving quantization of both branches "
                         "(network.quantize_ref/quantize_update) for this "
@@ -134,10 +137,12 @@ def main():
     )
     for interval in intervals:
         cfg.TEST.KEY_FRAME_INTERVAL = interval
-        offsets = (
-            list(range(interval))  # ann_pos = interval-1-key_offset sweeps k-1..0
-            if args.offset_sweep else [int(cfg.TEST.KEY_FRAME_OFFSET)]
-        )
+        if args.offsets:
+            offsets = [int(x) for x in args.offsets.split(",")]
+        elif args.offset_sweep:
+            offsets = list(range(interval))  # ann_pos = interval-1-key_offset sweeps k-1..0
+        else:
+            offsets = [int(cfg.TEST.KEY_FRAME_OFFSET)]
         for key_offset in offsets:
             cfg.TEST.KEY_FRAME_OFFSET = key_offset
             loader = TestClipLoader(
