@@ -59,7 +59,10 @@ class Predictor:
             variables["params"] = arg_params
         if aux_params:
             variables["batch_stats"] = aux_params
-        self._variables = variables if variables else arg_params
+        # Pin params on device once: a checkpoint restore hands back HOST
+        # (numpy) arrays, and jit re-transfers numpy args on EVERY call —
+        # through the TPU tunnel that is ~90s of param upload per frame.
+        self._variables = jax.device_put(variables if variables else arg_params)
         self._jitted = jax.jit(lambda v, *data: self._apply(v, *data))
 
     def predict(self, data_batch: DataBatch) -> list[dict]:
@@ -223,6 +226,9 @@ def pred_eval_clips(
 
     log = logger.info if logger else print
     acc = SegConfusionAccumulator(num_classes)
+    # Checkpoint restores return host (numpy) trees; jit re-uploads numpy
+    # args per call (~370MB of params per clip through the tunnel). Pin once.
+    variables = jax.device_put(variables)
 
     @jax.jit
     def run(variables, clip):
