@@ -19,7 +19,10 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from accel_tpu.ops.dilated import s2b_conv_general_dilated
+from accel_tpu.ops.dilated import (
+    s2b_conv_general_dilated,
+    shift1x1_conv_general_dilated,
+)
 from accel_tpu.ops.quant import int8_conv_general_dilated
 
 STAGE_PLANS = {
@@ -86,6 +89,8 @@ def _pick_conv_fn(quantize: bool, dilated_conv: str, dilation: int):
         return int8_conv_general_dilated
     if dilation > 1 and dilated_conv == "s2b":
         return s2b_conv_general_dilated
+    if dilation > 1 and dilated_conv == "shift1x1":
+        return shift1x1_conv_general_dilated
     return None
 
 

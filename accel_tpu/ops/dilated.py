@@ -149,3 +149,86 @@ def s2b_conv_general_dilated(
     return y.reshape(n, h, w, o)[:, :h0, :w0]
 
 
+def _shift2d(x, dy: int, dx: int):
+    """out[n, y, x, c] = x[n, y+dy, x+dx, c], zero outside — the shifted
+    view a conv tap at offset (dy, dx) reads under zero 'same' padding."""
+    pad = ((0, 0), (max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)), (0, 0))
+    x = jnp.pad(x, pad)
+    h, w = x.shape[1] - abs(dy), x.shape[2] - abs(dx)
+    return lax.dynamic_slice_in_dim(
+        lax.dynamic_slice_in_dim(x, max(dy, 0), h, axis=1), max(dx, 0), w, axis=2
+    )
+
+
+def shift1x1_conv_general_dilated(
+    lhs,
+    rhs,
+    window_strides,
+    padding,
+    lhs_dilation=None,
+    rhs_dilation=None,
+    dimension_numbers=None,
+    feature_group_count=1,
+    precision=None,
+):
+    """Tap-decomposition lowering: a stride-1 "same"-padded dilated KxK conv
+    as the sum over the K*K taps of a 1x1 conv (one clean MXU matmul per
+    tap) on the correspondingly shifted input:
+
+        y = sum_{i,j} shift(x, d*(i-c), d*(j-c)) @ W[i, j]
+
+    Exact (identical MACs, zero padding included) and differentiable
+    (pad/slice/conv/add only). Motivation: the measured direct-vs-dense gap
+    on TPU v5e (up to 35% at 64x128, table above) is halo/tiling overhead
+    inside XLA's dilated-conv emitter; each tap here is a dense
+    spatial-points x channels matmul with no halo at all — the trade is K*K
+    kernel launches + shifted-operand traffic vs that emitter overhead.
+    Measure per backend with tools/bench_dilated_conv.py before enabling
+    (``network.dilated_conv: shift1x1``).
+
+    Same applicability guards as the s2b rewrite; ineligible convs fall
+    through to the plain lowering.
+    """
+    def fallback():
+        return lax.conv_general_dilated(
+            lhs, rhs, window_strides, padding,
+            lhs_dilation=lhs_dilation, rhs_dilation=rhs_dilation,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count, precision=precision,
+        )
+
+    if lhs.ndim != 4 or rhs.ndim != 4 or feature_group_count != 1:
+        return fallback()
+    d_pair = tuple(rhs_dilation) if rhs_dilation is not None else (1, 1)
+    if d_pair[0] != d_pair[1] or d_pair[0] <= 1:
+        return fallback()
+    d = int(d_pair[0])
+    if tuple(window_strides) != (1, 1):
+        return fallback()
+    if lhs_dilation is not None and tuple(lhs_dilation) != (1, 1):
+        return fallback()
+    dn = lax.conv_dimension_numbers(lhs.shape, rhs.shape, dimension_numbers)
+    nhwc = lax.conv_dimension_numbers(lhs.shape, rhs.shape, ("NHWC", "HWIO", "NHWC"))
+    if dn != nhwc:
+        return fallback()
+    kh, kw = rhs.shape[0], rhs.shape[1]
+    if kh != kw or kh % 2 == 0:
+        return fallback()
+    pad = _as_pairs(padding)
+    same = d * (kh - 1) // 2
+    if pad != ((same, same), (same, same)):
+        return fallback()
+
+    c = (kh - 1) // 2
+    out = None
+    for i in range(kh):
+        for j in range(kw):
+            xs = _shift2d(lhs, d * (i - c), d * (j - c))
+            t = lax.conv_general_dilated(
+                xs, rhs[i:i + 1, j:j + 1], (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+            )
+            out = t if out is None else out + t
+    return out
+
+

@@ -12,7 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from accel_tpu.ops.dilated import s2b_conv_general_dilated
+from accel_tpu.ops.dilated import (
+    s2b_conv_general_dilated,
+    shift1x1_conv_general_dilated,
+)
 
 
 def _direct(x, w, d, strides=(1, 1), pad=None):
@@ -146,6 +149,77 @@ def test_s2b_grad_matches_direct():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "h,w_,d,k",
+    [
+        (16, 16, 2, 3),
+        (14, 22, 6, 3),   # spatial not divisible by d
+        (9, 13, 2, 3),    # odd spatial
+        (12, 12, 2, 5),   # 5x5 kernel
+    ],
+)
+def test_shift1x1_matches_direct(h, w_, d, k):
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, h, w_, 5)), jnp.float32)
+    ker = jnp.asarray(rng.standard_normal((k, k, 5, 7)) * 0.2, jnp.float32)
+    p = d * (k - 1) // 2
+    ref = _direct(x, ker, d, pad=[(p, p), (p, p)])
+    got = shift1x1_conv_general_dilated(
+        x, ker, (1, 1), [(p, p), (p, p)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(strides=(2, 2)),
+        dict(rhs_dilation=(1, 1)),
+        dict(pad=[(0, 0), (0, 0)]),
+    ],
+)
+def test_shift1x1_fallback_paths_match_lax(kwargs):
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 12, 12, 4)), jnp.float32)
+    ker = jnp.asarray(rng.standard_normal((3, 3, 4, 6)) * 0.3, jnp.float32)
+    strides = kwargs.get("strides", (1, 1))
+    dil = kwargs.get("rhs_dilation", (2, 2))
+    pad = kwargs.get("pad", [(2, 2), (2, 2)])
+    ref = jax.lax.conv_general_dilated(
+        x, ker, strides, pad, rhs_dilation=dil,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = shift1x1_conv_general_dilated(
+        x, ker, strides, pad, rhs_dilation=dil,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_shift1x1_grad_matches_direct():
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 10, 14, 3)), jnp.float32)
+    ker = jnp.asarray(rng.standard_normal((3, 3, 3, 4)) * 0.3, jnp.float32)
+
+    def loss(fn, x, k):
+        y = fn(
+            x, k, (1, 1), [(2, 2), (2, 2)], rhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.sum(y * y)
+
+    gx_ref, gk_ref = jax.grad(
+        lambda x, k: loss(jax.lax.conv_general_dilated, x, k), argnums=(0, 1)
+    )(x, ker)
+    gx, gk = jax.grad(
+        lambda x, k: loss(shift1x1_conv_general_dilated, x, k), argnums=(0, 1)
+    )(x, ker)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), atol=1e-3, rtol=1e-3)
+
+
 def test_auto_resolves_to_direct_lowering():
     """'auto' is the measured per-backend policy: on TPU v5e the direct
     lowering won or tied every hot shape (ops/dilated.py table), so the
@@ -157,6 +231,8 @@ def test_auto_resolves_to_direct_lowering():
     assert _pick_conv_fn(False, "direct", 4) is None
     assert _pick_conv_fn(False, "s2b", 2) is s2b_conv_general_dilated
     assert _pick_conv_fn(False, "s2b", 1) is None  # dense conv: no rewrite
+    assert _pick_conv_fn(False, "shift1x1", 2) is shift1x1_conv_general_dilated
+    assert _pick_conv_fn(False, "shift1x1", 1) is None
 
 
 def test_model_s2b_matches_direct():

@@ -76,6 +76,17 @@ def conv_s2b(x, w, d, factor=None):
     )
 
 
+def conv_shift1x1(x, w, d):
+    """Tap decomposition (ops/dilated.py): sum over the K*K taps of a 1x1
+    conv on the shifted input — one halo-free MXU matmul per tap."""
+    from accel_tpu.ops.dilated import shift1x1_conv_general_dilated
+
+    return shift1x1_conv_general_dilated(
+        x, w, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def conv_dense(x, w, d):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
@@ -126,6 +137,7 @@ def main():
             (f"s2b/f{f}", functools.partial(conv_s2b, d=d, factor=f))
             for f in factors
         ]
+        arms += [("shift1x1", functools.partial(conv_shift1x1, d=d))]
         arms += [("dense", functools.partial(conv_dense, d=d))]
         if verify:
             a = np.asarray(conv_direct(x, k, d), np.float32)
@@ -133,6 +145,9 @@ def main():
                 b = np.asarray(conv_s2b(x, k, d, factor=f), np.float32)
                 err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
                 print(f"  s2b/f{f} exactness rel-err {err:.2e}")
+            b = np.asarray(conv_shift1x1(x, k, d), np.float32)
+            err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+            print(f"  shift1x1 exactness rel-err {err:.2e}")
         print(f"({h}x{w_}, {ci}->{co}, d={d})")
         for name, fn in arms:
             t = slope_time(fn, x, k)
