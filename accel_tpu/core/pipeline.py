@@ -192,7 +192,10 @@ def _chunked_apply(model, variables, x, method: str, scale=None):
             xc = xc * scale
         return model.apply(variables, xc, method=method)
 
-    if n <= limit:
+    # symbolic leading dim (jax.export shape polymorphism): the chunk-size
+    # choice needs a concrete n — run unchunked (serving exports bind modest
+    # batches; the chunking exists for the B*k>=40 full-res training shapes)
+    if not isinstance(n, int) or n <= limit:
         return f(x)
     c = max(d for d in range(1, limit + 1) if n % d == 0)
     chunks = x.reshape(n // c, c, *x.shape[1:])
