@@ -83,8 +83,10 @@ def _pick_conv_fn(quantize: bool, dilated_conv: str, dilation: int):
     lowering (ops/dilated.py — exact, checkpoint-compatible; ineligible
     convs fall back to the plain lowering inside the hook); 'auto' (the
     default) is the measured per-backend policy — on TPU v5e the direct
-    rhs_dilation lowering won or tied every DeepLab hot shape (table in
-    ops/dilated.py), so auto resolves to the plain flax path."""
+    rhs_dilation lowering won or tied every hot shape IN-PROGRAM (the one
+    isolated microbench win, shift1x1 on the wide fc6 head, measured 4/4
+    slower inside the full model — ops/dilated.py docstring), so auto
+    resolves to the plain flax path."""
     if quantize:
         return int8_conv_general_dilated
     if dilation > 1 and dilated_conv == "s2b":

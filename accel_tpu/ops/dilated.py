@@ -39,10 +39,31 @@ decomposition, and the real gap to same-FLOPs dense (up to 35% at
 earlier measurement that showed 20-40% s2b wins forced
 ``preferred_element_type=f32`` on both arms, which disproportionately
 slows the direct dilated lowering — it did not reflect what the models
-run. Model knob ``network.dilated_conv: auto`` (the default) therefore
-resolves to the direct lowering on TPU; ``s2b`` (with ``_factor``) stays
-available as an explicit, exactness-tested knob for backends where the
-trade differs.
+run.
+
+The shift1x1 tap decomposition (below) was then swept the same way
+(2026-08-18, full table re-measured with shift1x1 + s2b arms): it loses
+on every dilated *stage* shape (65-117 TF/s vs direct's 83-148 — nine
+dispatches of shifted-operand traffic cost more than the halo overhead
+they avoid), EXCEPT the wide atrous fc6 head at the os16 plane, where the
+ISOLATED conv is a stable, 6/6-reproducible win:
+
+    64x128, 2048->1024, d=6:  shift1x1 9.3ms/132 TF/s  direct 10.7ms/115
+
+**That win does not transfer to the full program.** Routing exactly that
+fc6 shape through shift1x1 inside the whole DeepLab-101 per-frame model
+measured 4/4 runs SLOWER (10.1 vs 9.8 ms/frame, +3%) — in context XLA
+fuses the fc6 producer/epilogue and lays out the 64x128x2048 operand for
+the surrounding graph, and the nine pad/slice taps force materialized
+copies the isolated microbench never pays. Shape-local microbench wins
+must be re-measured in-program before wiring (this is the second lowering
+whose isolated win evaporated in context — see the f32-accumulation
+artifact above).
+
+Model knob ``network.dilated_conv: auto`` (the default) therefore
+resolves to the direct lowering on TPU; ``s2b`` (with ``_factor``) and
+``shift1x1`` stay available as explicit, exactness-tested knobs for
+backends where the trade differs.
 """
 
 from __future__ import annotations
@@ -230,5 +251,7 @@ def shift1x1_conv_general_dilated(
             )
             out = t if out is None else out + t
     return out
+
+
 
 

@@ -222,9 +222,11 @@ def test_shift1x1_grad_matches_direct():
 
 def test_auto_resolves_to_direct_lowering():
     """'auto' is the measured per-backend policy: on TPU v5e the direct
-    lowering won or tied every hot shape (ops/dilated.py table), so the
-    model hook must hand flax its default conv path (None) for auto and
-    the rewrite only under the explicit 's2b' knob."""
+    lowering won or tied every hot shape in-program (the one isolated
+    microbench win — shift1x1 on the wide fc6 head — measured 4/4 slower
+    inside the full model; ops/dilated.py docstring), so the model hook
+    must hand flax its default conv path (None) for auto, with the
+    rewrites only under their explicit knobs."""
     from accel_tpu.models.resnet import _pick_conv_fn
 
     assert _pick_conv_fn(False, "auto", 2) is None
