@@ -93,6 +93,10 @@ def _pick_conv_fn(quantize: bool, dilated_conv: str, dilation: int):
         return s2b_conv_general_dilated
     if dilation > 1 and dilated_conv == "shift1x1":
         return shift1x1_conv_general_dilated
+    if dilation > 1 and dilated_conv == "pallas":
+        from accel_tpu.ops.dilated_pallas import pallas_conv_general_dilated
+
+        return pallas_conv_general_dilated
     return None
 
 

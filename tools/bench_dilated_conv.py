@@ -87,6 +87,17 @@ def conv_shift1x1(x, w, d):
     )
 
 
+def conv_pallas(x, w, d):
+    """Fused-tap Pallas kernel (ops/dilated_pallas.py): one program, nine
+    VMEM-local MXU matmuls per row-block, f32 accumulation."""
+    from accel_tpu.ops.dilated_pallas import pallas_conv_general_dilated
+
+    return pallas_conv_general_dilated(
+        x, w, (1, 1), [(d, d), (d, d)], rhs_dilation=(d, d),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def conv_dense(x, w, d):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
@@ -105,6 +116,11 @@ def main():
         pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--arms", default="",
+                    help="csv filter of arm names (empty = all); e.g. "
+                         "'direct,pallas,dense' for a quick A/B")
+    ap.add_argument("--shapes", default="",
+                    help="csv of shape indices into the hot-shape table")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -121,6 +137,10 @@ def main():
         (64, 128, 2048, 1024, 6),  # fc6 @ os16 (R101 head)
         (64, 128, 512, 1024, 6),   # fc6 @ os16 (R18 head)
     ]
+    if args.shapes:
+        keep = {int(i) for i in args.shapes.split(",")}
+        shapes = [s for i, s in enumerate(shapes) if i in keep]
+    arm_filter = {a.strip() for a in args.arms.split(",") if a.strip()}
     verify = jax.default_backend() != "tpu"
     print(f"backend={jax.default_backend()} B={B}")
     for h, w_, ci, co, d in shapes:
@@ -138,6 +158,7 @@ def main():
             for f in factors
         ]
         arms += [("shift1x1", functools.partial(conv_shift1x1, d=d))]
+        arms += [("pallas", functools.partial(conv_pallas, d=d))]
         arms += [("dense", functools.partial(conv_dense, d=d))]
         if verify:
             a = np.asarray(conv_direct(x, k, d), np.float32)
@@ -149,6 +170,9 @@ def main():
             err = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
             print(f"  shift1x1 exactness rel-err {err:.2e}")
         print(f"({h}x{w_}, {ci}->{co}, d={d})")
+        if arm_filter:
+            arms = [(n, f) for n, f in arms
+                    if n in arm_filter or n.split("/")[0] in arm_filter]
         for name, fn in arms:
             t = slope_time(fn, x, k)
             print(f"    {name:9s} {t*1e3:7.2f}ms {tflop/t:6.0f}TF/s")
