@@ -41,6 +41,26 @@ Selection: ``network.dilated_conv: pallas`` routes eligible convs here
 checkpoints unchanged). Per the module policy in ``ops/dilated.py``,
 ``auto`` only flips to this kernel on a measured IN-PROGRAM win (isolated
 microbench wins did not transfer for two prior lowerings).
+
+IN-PROGRAM VERDICT (TPU v5e, measured 2026-08-19, 3/3 runs each): the
+kernel LOSES inside the full DeepLab-101 per-frame program at BOTH output
+strides despite winning every isolated shape —
+    os16 B=4 1024x2048: 43.5 vs 38.9 ms/step (direct)
+    os8  B=4 1024x2048: 187.0 vs 114.1 ms/step (direct)
+Mechanism: ``pallas_call`` is a fusion barrier. The direct lowering lets
+XLA fold each conv's epilogue (FrozenBN scale/shift FMA, relu, residual
+add) into the conv itself; routing the conv through this kernel forces
+those epilogues into standalone elementwise passes, each a full HBM
+read+write of the activation plane. At os8 (23 dilated conv4 blocks on
+256x512 planes) that lost fusion costs far more than the halo-recovery
+win the isolated sweep measured — the microbench never paid it because it
+timed the bare conv. ``auto`` therefore resolves to the direct lowering
+at every stride; this kernel stays an exactness-tested explicit knob. A
+win would require fusing the epilogue INTO the kernel (scale/shift
+vectors + residual operand as extra inputs), i.e. restructuring the
+ResNet blocks around a fused conv+bn+relu op — not justified while the
+direct os8 baseline already runs at 72.3% MFU. (Third occurrence of the
+isolated-win-does-not-transfer failure mode; see ops/dilated.py.)
 """
 
 from __future__ import annotations
