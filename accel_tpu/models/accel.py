@@ -265,7 +265,7 @@ def build_model(cfg) -> AccelNet:
         update_head_channels=int(net.get("update_head_channels", 0) or 0),
         update_input_downscale=int(net.get("update_input_downscale", 1) or 1),
         flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
-        stem=str(net.get("stem", "s2d")),
+        stem=str(net.get("stem", "conv7")),
         scale_field_norm=str(net.get("scale_field_norm", "none") or "none"),
         quantize_ref=bool(net.get("quantize_ref", False)),
         quantize_update=bool(net.get("quantize_update", False)),
