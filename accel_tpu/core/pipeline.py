@@ -203,6 +203,33 @@ def _chunked_apply(model, variables, x, method: str, scale=None):
     return out.reshape(n, *out.shape[2:])
 
 
+def _update_fuse_tail(model, variables, frames_g, ref_all, input_scale=None):
+    """Shared tail of the batched group steps: per-frame update branch at
+    batch B*k + batched 1x1 fusion (accel), or the ref scores as-is."""
+    B, k = frames_g.shape[:2]
+    if model.family != "accel":
+        return ref_all
+    upd = _chunked_apply(
+        model, variables, frames_g.reshape(B * k, *frames_g.shape[2:]),
+        "update_scores", scale=input_scale,
+    )
+    fused = model.apply(
+        variables, ref_all.reshape(B * k, *ref_all.shape[2:]), upd, method="fuse"
+    )
+    return fused.reshape(B, k, *fused.shape[1:])
+
+
+def _group_small_frames(model, variables, frames_g, input_scale=None):
+    """Downscale every frame of the group for FlowNet in one batched call."""
+    B, k = frames_g.shape[:2]
+    small = _chunked_apply(
+        model, variables,
+        frames_g.reshape(B * k, *frames_g.shape[2:]),
+        "downscale_for_flow", scale=input_scale,
+    )
+    return small.reshape(B, k, *small.shape[1:])
+
+
 def _group_step_direct_batched(model, variables, frames_g, input_scale=None):
     """Direct-mode group step with the non-key work batched.
 
@@ -224,12 +251,7 @@ def _group_step_direct_batched(model, variables, frames_g, input_scale=None):
     if k == 1:
         ref_all = key_scores[:, None]
     else:
-        small = _chunked_apply(
-            model, variables,
-            frames_g.reshape(B * k, *frames_g.shape[2:]),
-            "downscale_for_flow", scale=input_scale,
-        )
-        small = small.reshape(B, k, *small.shape[1:])
+        small = _group_small_frames(model, variables, frames_g, input_scale)
         cur_small = small[:, 1:].reshape(B * (k - 1), *small.shape[2:])
         anchor_small = jnp.repeat(small[:, 0], k - 1, axis=0)
         flow, scale = model.apply(
@@ -244,16 +266,56 @@ def _group_step_direct_batched(model, variables, frames_g, input_scale=None):
             [key_scores[:, None], ref_nonkey.reshape(B, k - 1, *ref_nonkey.shape[1:])],
             axis=1,
         )
-    if model.family != "accel":
-        return ref_all
-    upd = _chunked_apply(
-        model, variables, frames_g.reshape(B * k, *frames_g.shape[2:]),
-        "update_scores", scale=input_scale,
-    )
-    fused = model.apply(
-        variables, ref_all.reshape(B * k, *ref_all.shape[2:]), upd, method="fuse"
-    )
-    return fused.reshape(B, k, *fused.shape[1:])
+    return _update_fuse_tail(model, variables, frames_g, ref_all, input_scale)
+
+
+def _group_step_incremental_batched(model, variables, frames_g, input_scale=None):
+    """Incremental-mode (frame-to-frame cascade — the Accel paper's own
+    semantics, the flagship default since r3) group step with the
+    non-sequential work batched.
+
+    The cascade is sequential ONLY in the warp: each step's flow is between
+    CONSECUTIVE frames, so all k-1 FlowNet passes are independent pairs —
+    one call at batch B*(k-1) — and the score head / update branch / fusion
+    are per-frame — one call each at B*(k-1) / B*k. Only the warp (the
+    cheapest stage: 19-ch Pallas roll-accumulate or a row-DMA gather,
+    ~0.3 ms) chains through the k-1 steps.
+    Numerically identical to the sequential form (same ops, batched).
+    """
+    B, k = frames_g.shape[:2]
+    key_frame = frames_g[:, 0]
+    if input_scale is not None:
+        key_frame = key_frame * input_scale
+    prop = model.apply(variables, key_frame, method="ref_propagated")
+    key_scores = model.apply(variables, prop, method="ref_scores_from_propagated")
+    if k == 1:
+        ref_all = key_scores[:, None]
+    else:
+        small = _group_small_frames(model, variables, frames_g, input_scale)
+        cur_small = small[:, 1:].reshape(B * (k - 1), *small.shape[2:])
+        prev_small = small[:, :-1].reshape(B * (k - 1), *small.shape[2:])
+        flow, scale = model.apply(
+            variables, cur_small, prev_small, method="flow_pair"
+        )
+        flow = flow.reshape(B, k - 1, *flow.shape[1:])
+        scale = scale.reshape(B, k - 1, *scale.shape[1:])
+        carry, warped_steps = prop, []
+        for i in range(k - 1):
+            carry = model.apply(
+                variables, carry, flow[:, i], scale[:, i], method="warp"
+            )
+            warped_steps.append(carry)
+        warped = jnp.stack(warped_steps, 1).reshape(
+            B * (k - 1), *warped_steps[0].shape[1:]
+        )
+        ref_nonkey = model.apply(
+            variables, warped, method="ref_scores_from_propagated"
+        )
+        ref_all = jnp.concatenate(
+            [key_scores[:, None], ref_nonkey.reshape(B, k - 1, *ref_nonkey.shape[1:])],
+            axis=1,
+        )
+    return _update_fuse_tail(model, variables, frames_g, ref_all, input_scale)
 
 
 def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
@@ -269,12 +331,16 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
     ``remat=True`` wraps the keyframe forward and every per-frame step in
     ``jax.checkpoint`` so a clip-objective backward holds only one frame's
     activations at a time (forwards are recomputed during backprop). It
-    also forces the sequential form in direct mode — the batched fast path
-    materializes all k-1 frames' activations at once, which is exactly
-    what remat exists to avoid.
+    also forces the sequential form — the batched fast paths materialize
+    all k-1 frames' activations at once, which is exactly what remat
+    exists to avoid.
     """
-    if propagate == "direct" and not remat:
-        return _group_step_direct_batched(model, variables, frames_g, input_scale)
+    if not remat:
+        if propagate == "direct":
+            return _group_step_direct_batched(model, variables, frames_g,
+                                              input_scale)
+        return _group_step_incremental_batched(model, variables, frames_g,
+                                               input_scale)
     B, k = frames_g.shape[:2]
     key_frame = frames_g[:, 0]
     if input_scale is not None:

@@ -254,13 +254,29 @@ def test_chunked_group_step_is_exact(tiny_accel, monkeypatch):
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref), atol=1e-6)
 
 
+def test_incremental_batched_matches_sequential(tiny_accel):
+    """The batched incremental group step (r3: one FlowNet call on all
+    consecutive pairs + batched heads, sequential only in the warp cascade)
+    must reproduce the sequential form (reached via remat=True) exactly —
+    same ops, batched."""
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(21), (2, 4, 128, 128, 3)) * 0.1
+    batched = clip_logits(m, variables, clip, 4, propagate="incremental",
+                          remat=False)
+    sequential = clip_logits(m, variables, clip, 4, propagate="incremental",
+                             remat=True)
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(sequential), atol=2e-5
+    )
+
+
 def test_input_scale_matches_premultiplied_clip(tiny_accel):
     """clip_logits(clip, input_scale=s) must equal clip_logits(clip * s):
     the scale is applied at every point of consumption instead of
     materializing the product (the bench harness relies on this to avoid
     staging a whole scaled clip — the measured B=8 OOM, BASELINE.md).
-    Covers the batched direct path, the sequential incremental path, and
-    the remat'd direct path."""
+    Covers the batched direct path, the batched incremental path, and
+    the remat'd (sequential) direct path."""
     m, variables = tiny_accel
     clip = jax.random.normal(jax.random.PRNGKey(9), (2, 4, 128, 128, 3)) * 0.1
     s = jnp.float32(1.37)
