@@ -250,7 +250,24 @@ def pred_eval_clips(
             t_net += time.time() - t1
             n_timed += clip.shape[0] * clip.shape[1]
         n_frames += clip.shape[0] * clip.shape[1]
-        if item.get("label") is not None:
+        natives = item.get("label_native")
+        if natives is not None:
+            # SCALES resized the frames: score at NATIVE GT resolution
+            # (reference protocol — predictions upsampled to GT). Crop the
+            # pad-to-multiple region, nearest-resize the annotated frame's
+            # prediction to the GT shape, accumulate on host.
+            from accel_tpu.data.image import resize_to
+
+            ann_pos = int(item["ann_pos"])
+            preds_host = np.asarray(preds)
+            for b, nat in enumerate(natives):
+                if nat is None:
+                    continue
+                ann, scaled_hw = nat
+                p = preds_host[b, ann_pos, : scaled_hw[0], : scaled_hw[1]]
+                p = resize_to(p, *ann.shape[:2], interp="nearest")
+                acc.update(p[None], ann[None])
+        elif item.get("label") is not None:
             acc.update(preds, item["label"])
     miou, iou = acc.result()
     fps = n_timed / max(t_net, 1e-9)

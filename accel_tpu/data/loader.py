@@ -281,29 +281,42 @@ class TestClipLoader:
         clip = np.stack(frames, 0)
         label_full = np.full((k, *clip.shape[1:3]), 255, np.int32)
         ann = self.imdb.load_annotation(entry)
+        native = None
         if ann.shape[:2] != im.shape[:2]:
-            # eval at SCALES resolution: nearest-resize GT to match
+            # SCALES resized the frames: the reference protocol evaluates at
+            # NATIVE GT resolution (predictions upsampled to GT, not GT
+            # downsampled to predictions). Carry the native annotation plus
+            # the scaled valid extent; pred_eval_clips crops the padding,
+            # nearest-resizes the annotated frame's prediction to GT res and
+            # scores there. The device-side label still gets a nearest-
+            # resized GT so the non-native fast path keeps static shapes.
+            native = (ann, im.shape[:2])
             ann = resize_to(ann, *im.shape[:2], interp="nearest")
         label_full[ann_pos, : ann.shape[0], : ann.shape[1]] = ann
-        return clip, label_full, ann_pos
+        return clip, label_full, ann_pos, native
 
     def __iter__(self):
         for i in range(0, len(self.entries), self.batch_clips):
             chunk = self.entries[i : i + self.batch_clips]
-            clips, labels, idxs = [], [], []
+            clips, labels, idxs, natives = [], [], [], []
             for e in chunk:
-                clip, label, _ = self._load_clip(e)
+                clip, label, _, native = self._load_clip(e)
                 clips.append(clip)
                 labels.append(label)
                 idxs.append(self._entry_idx[id(e)])
+                natives.append(native)
             # pad last batch to full size with repeats (static shapes for jit)
             while len(clips) < self.batch_clips:
                 clips.append(clips[-1])
                 labels.append(np.full_like(labels[-1], 255))
                 idxs.append(-1)
-            yield {
+                natives.append(None)
+            item = {
                 "clip": np.stack(clips, 0),
                 "label": np.stack(labels, 0),
                 "entry_idx": np.asarray(idxs),
                 "ann_pos": self.ann_pos,
             }
+            if any(n is not None for n in natives):
+                item["label_native"] = natives
+            yield item

@@ -184,6 +184,68 @@ def test_train_clip_loader(cityscapes_fixture):
         assert sum(ann_frames) == 1, "exactly one annotated frame per clip"
 
 
+def test_clip_loader_scales_carries_native_gt(cityscapes_fixture):
+    """When SCALES resizes, items must carry the NATIVE-resolution GT so
+    eval scores at GT res (reference protocol: predictions upsampled to GT,
+    not GT downsampled to predictions)."""
+    root, data = cityscapes_fixture
+    ds = Cityscape("leftImg8bit_val", root, data)
+    cfg = default_config()
+    cfg.SCALES = [[64, 128]]  # half the fixture's native 128x256
+    cfg.TEST.KEY_FRAME_INTERVAL = 3
+    loader = TestClipLoader(ds, cfg, batch_clips=2)
+    b = next(iter(loader))
+    # frames scaled to 64x128, padded to the 128 multiple
+    assert b["clip"].shape == (2, 3, 128, 128, 3)
+    assert "label_native" in b and len(b["label_native"]) == 2
+    ann, scaled_hw = b["label_native"][0]
+    assert ann.shape == (H, W) and tuple(scaled_hw) == (64, 128)
+    # device-side label is still the scaled nearest GT (static shapes)
+    assert b["label"].shape == (2, 3, 128, 128)
+
+    # identity SCALES -> no native payload
+    cfg.SCALES = [[H, W]]
+    assert "label_native" not in next(iter(TestClipLoader(ds, cfg, batch_clips=2)))
+
+
+def test_pred_eval_clips_scores_at_native_gt_res(cityscapes_fixture, tiny_accel):
+    """pred_eval_clips under a resizing SCALES must equal a hand-computed
+    native-res scoring of the same predictions (crop padding, nearest-resize
+    pred to GT shape, confusion at GT res)."""
+    import jax
+
+    from accel_tpu.core.metrics import SegConfusionAccumulator
+    from accel_tpu.core.pipeline import clip_predictions
+    from accel_tpu.core.predictor import pred_eval_clips
+    from accel_tpu.data.image import resize_to
+
+    root, data = cityscapes_fixture
+    ds = Cityscape("leftImg8bit_val", root, data)
+    m, variables = tiny_accel
+    cfg = default_config()
+    cfg.SCALES = [[64, 128]]
+    cfg.TEST.KEY_FRAME_INTERVAL = 3
+    loader = TestClipLoader(ds, cfg, batch_clips=2)
+    items = list(loader)
+
+    miou, iou, _ = pred_eval_clips(
+        m, variables, iter(items), 19, 3, "direct")
+
+    run = jax.jit(lambda v, c: clip_predictions(m, v, c, 3, "direct"))
+    acc = SegConfusionAccumulator(19)
+    for item in items:
+        preds = np.asarray(run(variables, item["clip"]))
+        for b2, nat in enumerate(item["label_native"]):
+            if nat is None:
+                continue
+            ann, shw = nat
+            p = preds[b2, int(item["ann_pos"]), : shw[0], : shw[1]]
+            p = resize_to(p, *ann.shape, interp="nearest")
+            acc.update(p[None], ann[None])
+    expect_miou, _ = acc.result()
+    assert miou == pytest.approx(expect_miou, abs=1e-9)
+
+
 def test_generator_covers_post_annotated_frames(tmp_path):
     """The synthetic generator must write sequence frames THROUGH
     annotated+k-1: clip training with ann_pos < k-1 and the offset sweep
