@@ -214,6 +214,8 @@ def pred_eval_clips(
     propagate: str = "incremental",
     logger=None,
     upsample: str = "bilinear_logits",
+    mesh=None,
+    shard_spatial: bool = False,
 ):
     """Fast path: batched clip inference (one fused XLA program per clip
     batch via lax.scan) — the TPU-native replacement for the per-frame loop.
@@ -221,6 +223,13 @@ def pred_eval_clips(
     ``clip_iter`` yields {'clip': (B,F,H,W,3) normalized,
                           'label': (B,F,H,W) int with 255 ignore everywhere
                           except annotated frames (or None)}.
+
+    ``mesh`` (optional ``jax.sharding.Mesh``): shard each clip batch over
+    the mesh's 'data' axis (params replicated) — batched multi-chip
+    inference, the eval-surface counterpart of train.py's dp sharding
+    (SURVEY.md §7 step 7 / BASELINE.md milestone config 5). B must be
+    divisible by the data axis. ``shard_spatial`` additionally shards the
+    image H axis over 'spatial' (XLA inserts conv halo exchanges).
     """
     from accel_tpu.core.pipeline import clip_predictions
 
@@ -228,7 +237,16 @@ def pred_eval_clips(
     acc = SegConfusionAccumulator(num_classes)
     # Checkpoint restores return host (numpy) trees; jit re-uploads numpy
     # args per call (~370MB of params per clip through the tunnel). Pin once.
-    variables = jax.device_put(variables)
+    if mesh is not None:
+        from accel_tpu.parallel.mesh import batch_sharding, replicated
+
+        variables = jax.device_put(variables, replicated(mesh))
+        clip_sharding = batch_sharding(
+            mesh, spatial_axis=2 if shard_spatial else None
+        )
+    else:
+        variables = jax.device_put(variables)
+        clip_sharding = None
 
     @jax.jit
     def run(variables, clip):
@@ -241,6 +259,14 @@ def pred_eval_clips(
     first = True
     for item in clip_iter:
         clip = item["clip"]
+        if clip_sharding is not None:
+            if clip.shape[0] % mesh.shape["data"]:
+                raise ValueError(
+                    f"clip batch {clip.shape[0]} not divisible by mesh "
+                    f"data axis {mesh.shape['data']} (set TEST.BATCH_IMAGES "
+                    f"to a multiple)"
+                )
+            clip = jax.device_put(clip, clip_sharding)
         t1 = time.time()
         preds = run(variables, clip)
         preds.block_until_ready()

@@ -64,6 +64,7 @@ def main():
     from accel_tpu.data.loader import TestClipLoader
     from accel_tpu.data.prefetch import PrefetchingIter
     from accel_tpu.models.accel import build_model
+    from accel_tpu.parallel.mesh import make_mesh, mesh_from_cfg
     from accel_tpu.utils.logger import create_logger
 
     cfg = load_config(args.cfg)
@@ -130,6 +131,26 @@ def main():
             logger.info("no checkpoint found — using random weights")
         variables = host_init(model, dummy, dummy, jnp.ones((1,)), train=False)
 
+    # Batched multi-chip inference (SURVEY.md §7 step 7 / milestone 5):
+    # the same mesh treatment train.py has. The clip batch shards over the
+    # mesh 'data' axis; params are replicated. The data axis is clamped to
+    # divide TEST.BATCH_IMAGES so single-clip eval on a pod still runs
+    # (warn — raise BATCH_IMAGES to use every chip).
+    import math
+
+    mesh = mesh_from_cfg(cfg)
+    test_b = int(cfg.TEST.BATCH_IMAGES)
+    n_data = int(mesh.shape["data"])
+    if test_b % n_data:
+        g = math.gcd(test_b, n_data)
+        logger.warning(
+            f"TEST.BATCH_IMAGES={test_b} not divisible by mesh data axis "
+            f"{n_data}; clamping data axis to {g} (raise BATCH_IMAGES to a "
+            f"multiple of {n_data} to use every chip)"
+        )
+        mesh = make_mesh(g, int(mesh.shape["spatial"]))
+    shard_spatial = int(mesh.shape["spatial"]) > 1
+
     propagate = args.propagate or str(cfg.network.propagate)
     intervals = (
         [int(x) for x in args.sweep.split(",")]
@@ -153,6 +174,7 @@ def main():
                 model, variables, PrefetchingIter(iter(loader)),
                 int(cfg.dataset.NUM_CLASSES), interval, propagate, logger,
                 upsample=str(cfg.TEST.upsample),
+                mesh=mesh, shard_spatial=shard_spatial,
             )
             if len(intervals) == 1 and len(offsets) == 1:
                 for n, v in zip(imdb.class_names, iou):

@@ -67,6 +67,51 @@ def test_dp_matches_single_device(tiny_accel):
     np.testing.assert_allclose(l_mesh, l_single, rtol=1e-5)
 
 
+def test_pred_eval_clips_sharded_matches_single_device(tiny_accel):
+    """The eval surface (pred_eval_clips) under a data-sharded mesh must
+    bit-match the single-device run on the same fixtures — batched
+    multi-chip inference as the DRIVER exposes it (VERDICT r2 #2 /
+    BASELINE.md milestone config 5)."""
+    from accel_tpu.core.predictor import pred_eval_clips
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(9)
+    items = []
+    for _ in range(2):
+        label = np.full((4, 3, 128, 128), 255, np.int32)
+        label[:, 2] = rng.integers(0, 19, (4, 128, 128))
+        items.append({
+            "clip": np.asarray(
+                rng.standard_normal((4, 3, 128, 128, 3)), np.float32) * 0.1,
+            "label": label,
+        })
+
+    miou_1, iou_1, stats_1 = pred_eval_clips(
+        m, variables, iter(items), 19, 3, "direct")
+
+    mesh = make_mesh(data=4, spatial=1)
+    miou_m, iou_m, stats_m = pred_eval_clips(
+        m, variables, iter(items), 19, 3, "direct", mesh=mesh)
+    assert stats_m["frames"] == stats_1["frames"] == 24
+    assert miou_m == miou_1
+    np.testing.assert_array_equal(iou_m, iou_1)
+
+    # spatial axis too (data x spatial = 4 x 2)
+    mesh2 = make_mesh(data=4, spatial=2)
+    miou_s, iou_s, _ = pred_eval_clips(
+        m, variables, iter(items), 19, 3, "direct", mesh=mesh2,
+        shard_spatial=True)
+    assert miou_s == miou_1
+
+    # indivisible batch -> loud error, not silent wrong sharding
+    import pytest
+
+    with pytest.raises(ValueError):
+        pred_eval_clips(m, variables, iter([{
+            "clip": items[0]["clip"][:3], "label": items[0]["label"][:3],
+        }]), 19, 3, "direct", mesh=mesh)
+
+
 def test_spatial_sharding_inference(tiny_accel):
     """H-axis (spatial) sharding: XLA inserts halo exchanges for convs and
     the result matches unsharded inference."""
