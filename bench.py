@@ -96,8 +96,14 @@ def _init_variables(model, H, W):
     return host_init(model, cur, cur, eq, train=False)
 
 
-def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
-    """step(variables, input, scale) -> array. Returns seconds per step.
+class SlopeMeter:
+    """Slope timer for one program, split into compile() and draw() so the
+    caller can INTERLEAVE draws of several programs within one run — the
+    baseline drifts ±7% between draws minutes apart (BASELINE.md), so a
+    ratio of two single draws carries that drift; alternating draws sample
+    baseline and subject under the same backend conditions.
+
+    step(variables, input, scale) -> array. ``draw()`` returns seconds/step.
 
     Scans ``step`` over ``base`` with per-step scalar scales inside one
     jitted program; the per-call ``scales`` argument is fresh random data so
@@ -109,42 +115,57 @@ def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
     (``input_scale`` in the clip pipeline), where it fuses into the convs.
     """
 
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def run_n(variables, base, scales, n):
-        def body(acc, s):
-            out = step(variables, base, s)
-            return acc + jnp.sum(out.astype(jnp.int32)), ()
+    def __init__(self, step, variables, base, n_lo=1, n_hi=4, verbose=False):
+        self._variables = variables
+        self._base = base
+        self.n_lo, self.n_hi = n_lo, n_hi
+        self.verbose = verbose
+        self._rng = np.random.default_rng(int(time.time() * 1e3) % 2**31)
 
-        acc, _ = jax.lax.scan(body, jnp.int32(0), scales, length=n)
-        return acc
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run_n(variables, base, scales, n):
+            def body(acc, s):
+                out = step(variables, base, s)
+                return acc + jnp.sum(out.astype(jnp.int32)), ()
 
-    rng = np.random.default_rng(int(time.time() * 1e3) % 2**31)
+            acc, _ = jax.lax.scan(body, jnp.int32(0), scales, length=n)
+            return acc
 
-    def timed(n):
-        scales = jnp.asarray(rng.uniform(0.9, 1.1, (n,)), jnp.float32)
+        self._run_n = run_n
+
+    def _timed(self, n):
+        scales = jnp.asarray(self._rng.uniform(0.9, 1.1, (n,)), jnp.float32)
         t0 = time.perf_counter()
-        v = int(run_n(variables, base, scales, n))
+        v = int(self._run_n(self._variables, self._base, scales, n))
         dt = time.perf_counter() - t0
-        if verbose:
+        if self.verbose:
             print(f"  n={n}: {dt:.3f}s (acc={v})")
         return dt
 
-    # compile both program lengths first
-    timed(n_lo)
-    timed(n_hi)
-    # measure (fresh scales -> fresh computation). Tunnel round-trip
-    # latency occasionally spikes by 0.3-0.7s on a single dispatch (observed
-    # 2026-08-18: an n=1 run at 0.84s vs the 0.2s steady state), which can
-    # make t_lo exceed t_hi and turn the slope into garbage — retry the
-    # whole pair until the slope is positive.
-    for _ in range(4):
-        t_lo = min(timed(n_lo) for _ in range(3))
-        t_hi = min(timed(n_hi) for _ in range(3))
-        if t_hi > t_lo:
-            return (t_hi - t_lo) / (n_hi - n_lo)
-    # persistent spikes: amortized per-step time of the long program
-    # (includes one dispatch RTT — a conservative upper bound, never nonsense)
-    return t_hi / n_hi
+    def compile(self):
+        self._timed(self.n_lo)
+        self._timed(self.n_hi)
+        return self
+
+    def draw(self):
+        """One slope measurement (call compile() first). Tunnel round-trip
+        latency occasionally spikes by 0.3-0.7s on a single dispatch
+        (observed 2026-08-18: an n=1 run at 0.84s vs the 0.2s steady
+        state), which can make t_lo exceed t_hi and turn the slope into
+        garbage — retry the whole pair until the slope is positive."""
+        for _ in range(4):
+            t_lo = min(self._timed(self.n_lo) for _ in range(3))
+            t_hi = min(self._timed(self.n_hi) for _ in range(3))
+            if t_hi > t_lo:
+                return (t_hi - t_lo) / (self.n_hi - self.n_lo)
+        # persistent spikes: amortized per-step time of the long program
+        # (includes one dispatch RTT — a conservative upper bound)
+        return t_hi / self.n_hi
+
+
+def _slope_time(step, variables, base, n_lo=1, n_hi=4, verbose=False):
+    """One-shot convenience: compile + a single draw."""
+    return SlopeMeter(step, variables, base, n_lo, n_hi, verbose).compile().draw()
 
 
 def measure_streaming(model, H, W, k, rng, n_cycles=4):
@@ -199,11 +220,100 @@ def measure_streaming_group(model, H, W, k, rng, n_cycles=4):
     return (k * n_cycles) / dt
 
 
+def _mesh_correctness(spec: str):
+    """--mesh path: sharded pred_eval_clips over a (data[,spatial]) mesh vs
+    single-device on the same fixtures; prints one JSON line. Runs on
+    virtual CPU devices when the host lacks chips (same bootstrap as
+    __graft_entry__.dryrun_multichip)."""
+    axes = dict(kv.split("=") for kv in spec.split(","))
+    data = int(axes.get("data", 1))
+    spatial = int(axes.get("spatial", 1))
+    n_need = data * spatial
+
+    import os
+    import jax as _jax
+
+    # must run before ANY backend touch (even jax.devices() initializes);
+    # real multi-chip hosts can set ACCEL_MESH_REAL=1 to skip the CPU
+    # bootstrap and shard over the actual chips
+    if not os.environ.get("ACCEL_MESH_REAL"):
+        try:
+            _jax.config.update("jax_platforms", "cpu")
+            _jax.config.update("jax_num_cpu_devices", n_need)
+        except Exception as e:
+            print(f"mesh bootstrap: {e!r}", file=sys.stderr)
+    ok = len(_jax.devices()) >= n_need
+    if not ok and not os.environ.get("_ACCEL_MESH_CHILD"):
+        # backend was already initialized (or too few real chips): re-exec
+        # a clean child whose FIRST act is the CPU-device bootstrap (env
+        # vars alone are not honored where the TPU plugin wins platform
+        # selection — same situation as __graft_entry__.dryrun_multichip)
+        import subprocess
+
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            f"jax.config.update('jax_num_cpu_devices', {n_need}); "
+            f"import sys; sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r}); "
+            f"import bench; bench._mesh_correctness({spec!r})"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "_ACCEL_MESH_CHILD": "1"},
+            text=True,
+        )
+        sys.exit(proc.returncode)
+    result = {"metric": f"mesh_eval_correctness_data{data}_spatial{spatial}",
+              "unit": "bool", "backend": _jax.default_backend()}
+    if not ok:
+        result.update(value=0, error=f"only {len(_jax.devices())} devices")
+        print(json.dumps(result))
+        sys.exit(1)
+
+    from accel_tpu.core.predictor import pred_eval_clips
+    from accel_tpu.models.accel import AccelNet
+    from accel_tpu.parallel.mesh import make_mesh
+
+    model = AccelNet(
+        family="accel", ref_depth=18, update_depth=18, num_classes=19,
+        feat_stride=16, head_channels=32, dtype=jnp.float32,
+        use_pallas_warp=False,
+    )
+    rng = np.random.default_rng(0)
+    B, F, H, W = max(data, 1), 4, 128, 128
+    cur = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), cur, cur, jnp.ones((1,)),
+                           train=False)
+    label = np.full((B, F, H, W), 255, np.int32)
+    label[:, -1] = rng.integers(0, 19, (B, H, W))
+    items = [{"clip": np.asarray(rng.standard_normal((B, F, H, W, 3)),
+                                 np.float32) * 0.1,
+              "label": label}]
+
+    miou_1, iou_1, _ = pred_eval_clips(model, variables, iter(items), 19, F,
+                                       "direct")
+    mesh = make_mesh(data, spatial)
+    miou_m, iou_m, _ = pred_eval_clips(model, variables, iter(items), 19, F,
+                                       "direct", mesh=mesh,
+                                       shard_spatial=spatial > 1)
+    match = bool(miou_m == miou_1 and list(iou_m) == list(iou_1))
+    result.update(value=int(match), mesh={"data": data, "spatial": spatial},
+                  miou_single=round(miou_1, 6), miou_sharded=round(miou_m, 6))
+    print(json.dumps(result))
+    if not match:
+        sys.exit(1)
+
+
 def main():
     import os
 
     if os.environ.get("ACCEL_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["ACCEL_PLATFORM"])
+    # --mesh must bootstrap virtual devices BEFORE any backend touch
+    # (setup_compile_cache below initializes the backend), so peek at argv
+    if "--mesh" in sys.argv:
+        _mesh_correctness(sys.argv[sys.argv.index("--mesh") + 1])
+        return
     # persistent compile cache (host-keyed so cross-host AOT reuse doesn't
     # spew machine-feature/SIGILL warnings into the bench artifact)
     from accel_tpu.utils.cache import setup_compile_cache
@@ -244,6 +354,18 @@ def main():
                     help="seconds of total elapsed time after which "
                          "remaining extras are skipped")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="interleaved measurement rounds (each config drawn "
+                         "once per round; the headline ratio is the mean of "
+                         "per-round ratios with min/max error bars)")
+    ap.add_argument("--mesh", default=None, metavar="data=N[,spatial=M]",
+                    help="multi-chip CORRECTNESS path: shard a small clip "
+                         "eval over an N(xM)-device mesh and check it "
+                         "matches single-device. Bootstraps virtual CPU "
+                         "devices when the host has too few chips; emits "
+                         "its own JSON line and exits (no perf numbers — "
+                         "this exists so the measurement path is live the "
+                         "day real multi-chip hardware is)")
     args = ap.parse_args()
     t_start = time.perf_counter()
 
@@ -274,7 +396,11 @@ def main():
                   f"({type(e).__name__}); retrying in 15s", file=sys.stderr)
             time.sleep(15)
 
-    # ---- baseline: per-frame DeepLab-101, batched like the subject -------
+    # ---- build one SlopeMeter per config, then INTERLEAVE the draws ------
+    # The baseline alone drifts ±7% between draws minutes apart
+    # (BASELINE.md); alternating draws of baseline and subjects within one
+    # run samples them under the same backend conditions and gives the
+    # headline ratio an honest error bar (vs_baseline_min/max in the JSON).
     in_dtype = jnp.dtype(args.input_dtype)
     base_model = _build("deeplab", 101, 0, use_pallas, args.feat_stride,
                         args.quantize)
@@ -291,24 +417,46 @@ def main():
         logits = base_model.apply(variables, image, method="ref_propagated")
         return upsample_argmax_or_oracle(logits, (H, W))
 
-    t_base = _slope_time(per_frame, base_vars, frame, verbose=args.verbose)
-    base_fps = B / t_base
-    base_flops = _flops_of(per_frame, base_vars, frame)
-
-    # ---- subject: Accel-18 clip inference @ interval 5 -------------------
-    def measure_clip(model, B):
-        variables = _init_variables(model, H, W)
+    def clip_setup(model, propagate="direct", variables=None):
+        if variables is None:
+            variables = _init_variables(model, H, W)
         clip = jnp.asarray(rng.standard_normal((B, k, H, W, 3)), in_dtype)
 
         def run_clip(variables, clip, scale=None):
-            return clip_predictions(model, variables, clip, k, "direct",
+            return clip_predictions(model, variables, clip, k, propagate,
                                     input_scale=scale)
 
-        t = _slope_time(run_clip, variables, clip, verbose=args.verbose)
-        return (B * k) / t, _flops_of(run_clip, variables, clip)
+        return run_clip, variables, clip
+
+    def extras_ok():
+        return time.perf_counter() - t_start < args.extras_budget
+
+    # name -> (meter, flops_per_call, frames_per_call); insertion order is
+    # the interleave order within each round
+    meters = {}
+    meters["baseline"] = (
+        SlopeMeter(per_frame, base_vars, frame, verbose=args.verbose).compile(),
+        _flops_of(per_frame, base_vars, frame), B,
+    )
 
     model = _build("accel", 101, 18, use_pallas, args.feat_stride, args.quantize)
-    fps, subj_flops = measure_clip(model, B)
+    fn, v, c = clip_setup(model)
+    meters["accel18"] = (
+        SlopeMeter(fn, v, c, verbose=args.verbose).compile(),
+        _flops_of(fn, v, c), B * k,
+    )
+
+    # Incremental (frame-to-frame cascade) — the flagship DEFAULT semantics
+    # since r3; the batched incremental group step (core/pipeline.py) makes
+    # it near-direct-speed: only the cheap warp cascade is sequential
+    try:
+        fn2, _, c2 = clip_setup(model, "incremental", variables=v)
+        meters["accel18_incr"] = (
+            SlopeMeter(fn2, v, c2, verbose=args.verbose).compile(),
+            _flops_of(fn2, v, c2), B * k,
+        )
+    except Exception:
+        pass
 
     # TPU-optimized variant: update branch at stride 32 / 256-wide head,
     # quarter-res half-width FlowNet (accuracy unvalidated; extra metric)
@@ -323,15 +471,13 @@ def main():
         quantize_ref=args.quantize, quantize_update=args.quantize,
     )
     try:
-        fast_fps, fast_flops = measure_clip(fast_model, B)
+        fn, v, c = clip_setup(fast_model)
+        meters["accel18_fast"] = (
+            SlopeMeter(fn, v, c, verbose=args.verbose).compile(),
+            _flops_of(fn, v, c), B * k,
+        )
     except Exception:
-        fast_fps = fast_flops = None
-
-    # DFF family (keyframe fc6 features warped forward, no update branch);
-    # off by default to bound the driver's bench wall-time (r1 measured:
-    # 252-306 fps = 3.1-3.6x baseline)
-    def extras_ok():
-        return time.perf_counter() - t_start < args.extras_budget
+        pass
 
     # Mixed-stride rung of the os8 ladder: ref branch stays os8 (the
     # baseline's quality config) but the every-frame update branch runs at
@@ -339,7 +485,6 @@ def main():
     # grid inside the model (models/accel.py fusion path). The faithful
     # os8 subject is FLOP-ratio capped at 4.026/1.956 = 2.06x; cutting
     # update FLOPs is the only way past it.
-    mixed_fps = mixed_flops = None
     if args.feat_stride == 8 and extras_ok():
         mixed_model = AccelNet(
             family="accel", ref_depth=101, update_depth=18, num_classes=19,
@@ -349,11 +494,15 @@ def main():
             quantize_update=args.quantize,
         )
         try:
-            mixed_fps, mixed_flops = measure_clip(mixed_model, B)
+            fn, v, c = clip_setup(mixed_model)
+            meters["accel18_os8mixed"] = (
+                SlopeMeter(fn, v, c, verbose=args.verbose).compile(),
+                _flops_of(fn, v, c), B * k,
+            )
         except Exception:
-            mixed_fps = None
+            pass
 
-    dff_fps = dff_flops = None
+    # DFF family (keyframe fc6 features warped forward, no update branch)
     if args.with_dff and extras_ok():
         dff_model = AccelNet(
             family="dff", ref_depth=101, num_classes=19, feat_stride=16,
@@ -362,9 +511,49 @@ def main():
             quantize_ref=args.quantize,
         )
         try:
-            dff_fps, dff_flops = measure_clip(dff_model, B)
+            fn, v, c = clip_setup(dff_model)
+            meters["dff"] = (
+                SlopeMeter(fn, v, c, verbose=args.verbose).compile(),
+                _flops_of(fn, v, c), B * k,
+            )
         except Exception:
-            dff_fps = None
+            pass
+
+    # interleaved rounds: every config drawn once per round, in order
+    fps_draws = {name: [] for name in meters}
+    for _ in range(max(int(args.repeats), 1)):
+        for name, (meter, _fl, frames) in meters.items():
+            try:
+                fps_draws[name].append(frames / meter.draw())
+            except Exception:
+                pass
+
+    def fps_of(name):
+        d = fps_draws.get(name) or []
+        return (sum(d) / len(d)) if d else None
+
+    def ratio_stats(name):
+        """Per-round fps ratio vs the SAME round's baseline draw."""
+        d, b = fps_draws.get(name) or [], fps_draws.get("baseline") or []
+        ratios = [x / y for x, y in zip(d, b)]
+        if not ratios:
+            return {}
+        mean = sum(ratios) / len(ratios)
+        return {"mean": round(mean, 3), "min": round(min(ratios), 3),
+                "max": round(max(ratios), 3)}
+
+    base_fps = fps_of("baseline")
+    base_flops = meters["baseline"][1]
+    fps = fps_of("accel18")
+    subj_flops = meters["accel18"][1]
+    incr_fps = fps_of("accel18_incr")
+    incr_flops = meters.get("accel18_incr", (None, None))[1] if incr_fps else None
+    fast_fps = fps_of("accel18_fast")
+    fast_flops = meters.get("accel18_fast", (None, None))[1] if fast_fps else None
+    mixed_fps = fps_of("accel18_os8mixed")
+    mixed_flops = meters.get("accel18_os8mixed", (None, None))[1] if mixed_fps else None
+    dff_fps = fps_of("dff")
+    dff_flops = meters.get("dff", (None, None))[1] if dff_fps else None
 
     # ---- streaming: per-frame VideoSegmenter loop (the reference's
     # pred_eval protocol; includes per-frame dispatch + prediction readback)
@@ -379,27 +568,49 @@ def main():
         except Exception:
             stream_group_fps = None
 
+    subj_r = ratio_stats("accel18")
+    incr_r = ratio_stats("accel18_incr")
+    fast_r = ratio_stats("accel18_fast")
+    mixed_r = ratio_stats("accel18_os8mixed")
+    dff_r = ratio_stats("dff")
     print(
         json.dumps(
             {
                 "metric": f"accel18_fps_per_chip_k{k}_{H}x{W}_B{B}",
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / base_fps, 3),
+                # mean of per-round ratios (each subject draw divided by the
+                # SAME round's baseline draw); min/max bound the backend drift
+                "vs_baseline": subj_r.get("mean"),
+                "vs_baseline_min": subj_r.get("min"),
+                "vs_baseline_max": subj_r.get("max"),
+                "measure_rounds": len(fps_draws.get("baseline") or []),
                 "baseline_deeplab101_fps": round(base_fps, 3),
                 **_mfu_fields("baseline", base_fps, base_flops, B, backend),
                 **_mfu_fields("accel18", fps, subj_flops, B * k, backend),
+                **({"accel18_incr_fps": round(incr_fps, 3),
+                    "accel18_incr_vs_baseline": incr_r.get("mean"),
+                    "accel18_incr_vs_baseline_min": incr_r.get("min"),
+                    "accel18_incr_vs_baseline_max": incr_r.get("max"),
+                    **_mfu_fields("accel18_incr", incr_fps, incr_flops, B * k, backend)}
+                   if incr_fps else {}),
                 **({"accel18_fast_fps": round(fast_fps, 3),
-                    "accel18_fast_vs_baseline": round(fast_fps / base_fps, 3),
+                    "accel18_fast_vs_baseline": fast_r.get("mean"),
+                    "accel18_fast_vs_baseline_min": fast_r.get("min"),
+                    "accel18_fast_vs_baseline_max": fast_r.get("max"),
                     **_mfu_fields("accel18_fast", fast_fps, fast_flops, B * k, backend)}
                    if fast_fps else {}),
                 **({"accel18_os8mixed_fps": round(mixed_fps, 3),
-                    "accel18_os8mixed_vs_baseline": round(mixed_fps / base_fps, 3),
+                    "accel18_os8mixed_vs_baseline": mixed_r.get("mean"),
+                    "accel18_os8mixed_vs_baseline_min": mixed_r.get("min"),
+                    "accel18_os8mixed_vs_baseline_max": mixed_r.get("max"),
                     **_mfu_fields("accel18_os8mixed", mixed_fps, mixed_flops,
                                   B * k, backend)}
                    if mixed_fps else {}),
                 **({"dff_fps": round(dff_fps, 3),
-                    "dff_vs_baseline": round(dff_fps / base_fps, 3),
+                    "dff_vs_baseline": dff_r.get("mean"),
+                    "dff_vs_baseline_min": dff_r.get("min"),
+                    "dff_vs_baseline_max": dff_r.get("max"),
                     **_mfu_fields("dff", dff_fps, dff_flops, B * k, backend)}
                    if dff_fps else {}),
                 **({"streaming_fps": round(stream_fps, 3)} if stream_fps else {}),
