@@ -45,13 +45,17 @@ def make_defaults() -> Config:
                 "head_channels": 1024,
                 # FlowNet runs on inputs downscaled by this factor
                 "flow_input_downscale": 2,
-                # flow propagation: 'direct' (key->cur in one shot — matches
-                # the pair-based training objective; the trained scale field
-                # is calibrated for exactly one warp) or 'incremental'
-                # (prev->cur cascaded warps, the Accel-paper style — only
-                # valid with clip-based training that cascades during
-                # training too, else the scale modulation compounds)
-                "propagate": "direct",
+                # flow propagation: 'incremental' (prev->cur cascaded
+                # warps — the Accel paper's own semantics, and with the clip
+                # training objective the measured accuracy-optimal recipe:
+                # best keyframe-path AND best warped-offset mIoU on the
+                # hard-synth ladder, BASELINE.md) or 'direct' (key->cur in
+                # one shot — the DFF semantics and the mode the reference's
+                # PAIR training recipe requires: a pair-trained scale field
+                # is calibrated for exactly one warp and compounds under
+                # cascade). Must match TRAIN.objective: clip<->incremental,
+                # pair<->direct.
+                "propagate": "incremental",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
                 # 'mean1' pins the scale field's degenerate global gain
@@ -131,16 +135,22 @@ def make_defaults() -> Config:
                 # auxiliary CE weight on raw branch outputs (keeps the
                 # keyframe path strong; 0 = reference behavior)
                 "aux_loss_weight": 0.5,
-                # training objective: 'pair' (reference: single sampled
-                # warp per example) or 'clip' (cascade-unrolled CE through
-                # CLIP_LENGTH frames — required for propagate='incremental'
-                # eval to hold up; see core/pipeline.clip_loss_and_stats)
-                "objective": "pair",
+                # training objective: 'clip' (cascade-unrolled CE through
+                # CLIP_LENGTH frames — the reference's own incremental eval
+                # semantics made trainable, and the measured-best recipe at
+                # every offset on the hard-synth ladder; see
+                # core/pipeline.clip_loss_and_stats) or 'pair' (the
+                # reference's TRAINING recipe: single sampled warp per
+                # example — keep for reference-weight parity, and pair it
+                # with propagate='direct')
+                "objective": "clip",
                 # rematerialize per-frame forwards in the clip objective's
                 # backward (jax.checkpoint): holds one frame's activations
                 # instead of k — enables full-res / large-k clip training
                 # within HBM at the cost of ~one recomputed forward
-                "remat": False,
+                # (measured: doubles the trainable full-res clip batch,
+                # loss/grads bit-identical)
+                "remat": True,
                 "CLIP_LENGTH": 5,
             },
             "TEST": {
