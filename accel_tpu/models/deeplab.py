@@ -74,6 +74,19 @@ class DeepLab(nn.Module):
     dilated_conv: str = "auto"
 
     def setup(self):
+        # 'pallas_fc6': the nine-tap Pallas kernel for the atrous fc6 HEAD
+        # only, direct lowering in the backbone. The full-model 'pallas'
+        # mode loses in-program because pallas_call is a fusion barrier and
+        # the backbone's 23+ dilated blocks each pay a standalone
+        # BN/relu/residual HBM pass (BASELINE.md r2); fc6's epilogue is just
+        # relu -> 1x1 classifier, so the barrier penalty is minimal where
+        # the halo win (d=6 on a wide conv) is largest.
+        backbone_mode = (
+            "auto" if self.dilated_conv == "pallas_fc6" else self.dilated_conv
+        )
+        head_mode = (
+            "pallas" if self.dilated_conv == "pallas_fc6" else self.dilated_conv
+        )
         self.backbone = DilatedResNet(
             depth=self.depth,
             output_stride=self.output_stride,
@@ -81,7 +94,7 @@ class DeepLab(nn.Module):
             stem=self.stem,
             dtype=self.dtype,
             quantize=self.quantize,
-            dilated_conv=self.dilated_conv,
+            dilated_conv=backbone_mode,
         )
         self.head = DeepLabHead(
             num_classes=self.num_classes,
@@ -89,7 +102,7 @@ class DeepLab(nn.Module):
             head_dilation=self.head_dilation,
             dtype=self.dtype,
             quantize=self.quantize,
-            dilated_conv=self.dilated_conv,
+            dilated_conv=head_mode,
         )
 
     def __call__(self, image, train: bool = False, mode: str = "full"):

@@ -153,3 +153,23 @@ def test_resnet_pallas_knob_matches_direct():
     np.testing.assert_allclose(
         np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4
     )
+
+
+def test_deeplab_pallas_fc6_knob_matches_auto():
+    """dilated_conv='pallas_fc6' (nine-tap kernel on the atrous HEAD only,
+    direct backbone — the surgical mode for the DFF non-key head) must
+    reproduce the default lowering with the same params."""
+    from accel_tpu.models.deeplab import DeepLab
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32) * 0.1
+    kw = dict(depth=18, num_classes=19, output_stride=16, head_channels=128,
+              head_dilation=6, norm="frozenbn", dtype=jnp.float32)
+    m_auto = DeepLab(dilated_conv="auto", **kw)
+    m_fc6 = DeepLab(dilated_conv="pallas_fc6", **kw)
+    variables = m_auto.init(jax.random.PRNGKey(0), x)
+    a = m_auto.apply(variables, x)
+    b = m_fc6.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-4
+    )
