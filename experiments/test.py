@@ -38,6 +38,10 @@ def parse_args():
                    help="int8 serving quantization of both branches "
                         "(network.quantize_ref/quantize_update) for this "
                         "eval; checkpoints restore unchanged")
+    p.add_argument("--warp-max-disp", type=int, default=None,
+                   help="override network.warp_max_disp (Pallas warp "
+                        "displacement clamp, feature-res px) for this eval "
+                        "— the extreme-motion knee sweep")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--random-weights", action="store_true",
                    help="skip checkpoint restore (pipeline smoke / timing)")
@@ -73,6 +77,8 @@ def main():
     if args.quantize:
         cfg.network.quantize_ref = True
         cfg.network.quantize_update = True
+    if args.warp_max_disp is not None:
+        cfg.network.warp_max_disp = args.warp_max_disp
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_dir = create_logger(cfg.output_path, cfg_name, cfg.dataset.test_image_set)
 

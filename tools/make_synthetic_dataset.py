@@ -14,6 +14,14 @@ Two styles:
   so val mIoU lands mid-range (60-90) and degrades with keyframe offset —
   mIoU-vs-offset curves (paper protocol, SURVEY.md Appendix B) become
   informative instead of ceiling-saturated.
+- ``extreme`` — the propagation-stressing protocol (VERDICT r2 #3): same
+  classes/textures as ``hard`` but with 6x object motion (8-24 px/frame —
+  a 4-frame direct warp must span up to ~6 feature-stride-16 pixels),
+  camera pans of similar magnitude, and extra large fast occluders that
+  cover and UNCOVER class regions (disocclusion is unrecoverable by
+  warping — the regime Accel's corrective fusion exists for). This is the
+  set where the warp ``max_disp`` clamp and the Accel-vs-DFF ordering
+  become measurable.
 
 Usage: python tools/make_synthetic_dataset.py --out /tmp/cs_synth \
            [--style hard] [--snippets 4] [--height 256] [--width 512] \
@@ -105,16 +113,16 @@ def _texture(cls_idx, yy, xx, phase, H):
     return g
 
 
-def _render_hard(H, W, objects, bg_rows, t, rng, flicker):
+def _render_hard(H, W, objects, bg_rows, t, rng, flicker, pan=1.5):
     """Render frame at time offset ``t`` (0 = annotated frame). Returns
     (image uint8 BGR, label uint8 labelIds). Objects move independently and
-    occlude in z-order; background pans horizontally."""
+    occlude in z-order; background pans horizontally at ``pan`` px/frame."""
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     img = np.zeros((H, W, 3), np.float32)
     lab = np.zeros((H, W), np.uint8)
 
     # background: 3 panning textured bands (sky / building / road)
-    bg_shift = 1.5 * t
+    bg_shift = pan * t
     for (cls_idx, y0, y1) in bg_rows:
         labelid, color, _, _ = _HARD_CLASSES[cls_idx]
         g = _texture(cls_idx, yy[y0:y1], xx[y0:y1] + bg_shift, 0.0, H)
@@ -143,7 +151,13 @@ def _render_hard(H, W, objects, bg_rows, t, rng, flicker):
     return np.clip(img, 0, 255).astype(np.uint8), lab
 
 
-def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=12, fwd=9):
+def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=12, fwd=9,
+                       motion=1.0, pan=None, n_occluders=0):
+    """``motion`` scales object velocities (1.0 = the hard protocol's
+    <=4 px/frame); ``pan`` is the background pan speed in px/frame (default
+    the hard protocol's 1.5, sign randomized when given); ``n_occluders``
+    adds large FAST foreground objects whose sweep covers and uncovers
+    class regions (disocclusion — unrecoverable by warping)."""
     import cv2
 
     from accel_tpu.data.cityscapes import ANNOTATED_FRAME
@@ -168,14 +182,36 @@ def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=12, fwd=9):
                 "cx": float(rng.uniform(0.1 * W, 0.9 * W)),
                 "ry": float(rng.uniform(H / 14, H / 4)),
                 "rx": float(rng.uniform(W / 24, W / 6)),
-                # up to ~4 px/frame — at keyframe offset 4 that is a 16 px
-                # displacement, well past trivial warp slack
-                "vy": float(rng.uniform(-2.5, 2.5)),
-                "vx": float(rng.uniform(-4.0, 4.0)),
+                # hard: up to ~4 px/frame — at keyframe offset 4 that is a
+                # 16 px displacement; extreme (motion=6): up to 24 px/frame
+                "vy": float(rng.uniform(-2.5, 2.5)) * motion,
+                "vx": float(rng.uniform(-4.0, 4.0)) * motion,
                 "phase": float(rng.uniform(0, 6.28)),
                 "shape": "ellipse" if rng.random() < 0.5 else "box",
             }
         )
+    for _ in range(n_occluders):
+        # big, fast, frontmost: sweeps across mid-frame covering and
+        # uncovering whatever lies behind it
+        cls_idx = int(rng.integers(3, len(_HARD_CLASSES)))
+        direction = 1.0 if rng.random() < 0.5 else -1.0
+        objects.append(
+            {
+                "cls": cls_idx,
+                "cy": float(rng.uniform(0.3 * H, 0.7 * H)),
+                "cx": float(rng.uniform(0.2 * W, 0.8 * W)),
+                "ry": float(rng.uniform(H / 6, H / 3)),
+                "rx": float(rng.uniform(W / 10, W / 5)),
+                "vy": float(rng.uniform(-4.0, 4.0)) * motion / 2,
+                "vx": direction * float(rng.uniform(3.0, 4.0)) * motion,
+                "phase": float(rng.uniform(0, 6.28)),
+                "shape": "ellipse" if rng.random() < 0.5 else "box",
+            }
+        )
+    if pan is None:
+        pan = 1.5
+    else:
+        pan = float(pan) * (1.0 if rng.random() < 0.5 else -1.0)
     flicker = float(rng.uniform(-0.02, 0.02))
 
     # per-frame rng derived from a snippet seed + frame index: frame
@@ -188,14 +224,14 @@ def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=12, fwd=9):
 
     name = f"{city}_{seq:06d}_{ANNOTATED_FRAME:06d}"
     img0, lab0 = _render_hard(
-        H, W, objects, bg_rows, 0, frame_rng(ANNOTATED_FRAME), flicker
+        H, W, objects, bg_rows, 0, frame_rng(ANNOTATED_FRAME), flicker, pan
     )
     put(os.path.join(data_dir, "leftImg8bit", split, city, f"{name}_leftImg8bit.png"), img0)
     put(os.path.join(data_dir, "gtFine", split, city, f"{name}_gtFine_labelIds.png"), lab0)
     for fidx in range(ANNOTATED_FRAME - back, ANNOTATED_FRAME + fwd + 1):
         frame, _ = _render_hard(
             H, W, objects, bg_rows, fidx - ANNOTATED_FRAME, frame_rng(fidx),
-            flicker,
+            flicker, pan,
         )
         sname = f"{city}_{seq:06d}_{fidx:06d}"
         put(
@@ -209,7 +245,8 @@ def write_snippet_hard(data_dir, split, city, seq, H, W, rng, back=12, fwd=9):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--style", choices=["bands", "hard"], default="bands")
+    ap.add_argument("--style", choices=["bands", "hard", "extreme"],
+                    default="bands")
     ap.add_argument("--snippets", type=int, default=4)
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=512)
@@ -219,7 +256,19 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     data_dir = os.path.join(args.out, "cityscapes")
-    writer = write_snippet_hard if args.style == "hard" else write_snippet
+
+    def writer(*a):
+        if args.style == "bands":
+            return write_snippet(*a)
+        if args.style == "hard":
+            return write_snippet_hard(*a)
+        # extreme: 6x motion (8-24 px/frame), 6-12 px/frame camera pan,
+        # 2-3 large fast occluders per snippet
+        return write_snippet_hard(
+            *a, motion=6.0, pan=float(rng.uniform(6, 12)),
+            n_occluders=int(rng.integers(2, 4)),
+        )
+
     for split in args.splits.split(","):
         for s in range(args.snippets):
             writer(data_dir, split, "synthcity", s, args.height, args.width, rng)
