@@ -2,11 +2,13 @@
 # EXTREME-motion synthetic battery (VERDICT r2 #3). Run detached on TPU:
 #   setsid nohup bash tools/run_extreme_battery.sh > /tmp/extreme_battery.log 2>&1 &
 #
-# Phases:
-#  1. generate the extreme dataset (8-24 px/frame motion, fast occluders)
-#  2. train the family ladder + clip arm on it
-#  3. eval: k=5 offset sweep per arm; warp max_disp knee sweep (4/8/16) on
-#     the accel arms; propagate-mode cross-check on the pair arm
+# Each arm is trained and IMMEDIATELY evaluated (offset sweep), so partial
+# progress yields complete ladder rows. Arm order is scientific priority:
+#  1. accel18 (pair)  — flagship pair arm; also feeds the max_disp knee sweep
+#  2. dff             — the Accel-vs-DFF ordering (the paper's central claim)
+#  3. accel18_clip    — incremental-vs-direct cross-check at large motion
+#  4. accel18_fast    — the throughput preset under propagation stress
+#  5. 34/50/101       — ladder completion (cheapest-last; skippable)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -35,29 +37,34 @@ eval_sweep () {
       --offset-sweep "$@" || echo "EVAL $cfg FAILED rc=$?"
 }
 
-# ---- phase 2: training (cheap arms first so partial progress is useful)
-for cfg in extreme_synth_accel18 extreme_synth_dff extreme_synth_accel18_clip \
-           extreme_synth_accel18_fast extreme_synth_accel34 \
-           extreme_synth_accel50 extreme_synth_accel101; do
-  train_one $cfg
-done
-
-# ---- phase 3: evals
-# family ladder offset curves (k=5, offsets 0..4)
-for cfg in extreme_synth_accel18 extreme_synth_dff extreme_synth_accel18_fast \
-           extreme_synth_accel34 extreme_synth_accel50 extreme_synth_accel101; do
-  eval_sweep $cfg
-done
-# clip arm under its own (incremental) semantics
-eval_sweep extreme_synth_accel18_clip --propagate incremental
-# propagation cross-checks at large motion: does incremental beat direct
-# once per-step displacement is small but total displacement is large?
-eval_sweep extreme_synth_accel18_clip --propagate direct
-# warp max_disp knee (offset-4 is the largest displacement): 4 / 8 / 16
+# ---- arm 1: flagship pair arm + the warp max_disp knee sweep
+train_one extreme_synth_accel18
+eval_sweep extreme_synth_accel18
+# max_disp knee at the largest displacement (offset 4 via the sweep above
+# used the model default); sweep 4/8/16 at offset 4 where the clamp bites
 for d in 4 8 16; do
-  echo "=== MAXDISP $d ==="
+  echo "=== MAXDISP $d $(date +%H:%M:%S) ==="
   timeout 1800 python experiments/test.py \
       --cfg experiments/cfgs/extreme_synth_accel18.yaml \
-      --offsets 0 --warp-max-disp $d || echo "MAXDISP $d FAILED"
+      --offsets 4 --warp-max-disp $d || echo "MAXDISP $d FAILED"
+done
+
+# ---- arm 2: DFF (does Accel > DFF emerge once propagation is lossy?)
+train_one extreme_synth_dff
+eval_sweep extreme_synth_dff
+
+# ---- arm 3: clip objective; incremental vs direct at large motion
+train_one extreme_synth_accel18_clip
+eval_sweep extreme_synth_accel18_clip --propagate incremental
+eval_sweep extreme_synth_accel18_clip --propagate direct
+
+# ---- arm 4: fast preset
+train_one extreme_synth_accel18_fast
+eval_sweep extreme_synth_accel18_fast
+
+# ---- arms 5-7: backbone ladder completion
+for cfg in extreme_synth_accel34 extreme_synth_accel50 extreme_synth_accel101; do
+  train_one $cfg
+  eval_sweep $cfg
 done
 echo "=== battery done $(date +%H:%M:%S) ==="
