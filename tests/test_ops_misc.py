@@ -65,3 +65,31 @@ def test_resize_bilinear_matches_jax_image():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
     up = bilinear_upsample(x, 4)
     assert up.shape == (1, 32, 32, 3)
+
+
+def test_fast_downscale_matches_jax_image():
+    """The alternative integer-factor downscale lowerings (env-selectable
+    via ACCEL_DOWNSCALE; jax.image.resize stays the measured default) must
+    match the jax.image.resize oracle at every factor the models use,
+    including the renormalized boundary rows."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    for (h, w, oh, ow) in [
+        (16, 32, 8, 16),    # f=2 (accel flow downscale)
+        (64, 128, 16, 32),  # f=4 (dff/fast flow downscale)
+        (24, 48, 12, 12),   # mixed factors (2, 4)
+        (16, 16, 4, 16),    # one-axis downscale
+        (30, 60, 15, 20),   # odd sizes (f=2, 3)
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+        ref = jax.image.resize(x, (2, oh, ow, 3), "linear")
+        fh, fw = h // oh, w // ow
+        from accel_tpu.ops.upsample import downscale_bilinear
+
+        for method in ("conv", "slice"):
+            out = downscale_bilinear(x, fh, fw, method)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5,
+                err_msg=f"{h}x{w} -> {oh}x{ow} [{method}]",
+            )

@@ -117,14 +117,18 @@ def main():
     add("downscale_for_flow (B*k)", lambda v, b, s=None:
         model.apply(v, b if s is None else b * s, method="downscale_for_flow"),
         frames_all, B * k)
-    add("flow_pair: FlowNet+resize (B*(k-1))", lambda v, b, s=None:
-        model.apply(v, b if s is None else b * s, small_anchor,
+    # NB: big side tensors must ride in the ``v`` slot, NOT as closures —
+    # jit embeds closed-over arrays as HLO constants, and DFF's 1024-ch
+    # scale field (512 MB f32) blows the tunnel compile request limit
+    # (observed HTTP 413 on remote_compile).
+    add("flow_pair: FlowNet+resize (B*(k-1))", lambda vv, b, s=None:
+        model.apply(vv[0], b if s is None else b * s, vv[1],
                     method="flow_pair")[0],
-        small_cur, n_nk)
-    add("warp+scale-mod (B*(k-1))", lambda v, b, s=None:
-        model.apply(v, b if s is None else b * s, flow_nk, scale_nk,
+        small_cur, n_nk, v=(variables, small_anchor))
+    add("warp+scale-mod (B*(k-1))", lambda vv, b, s=None:
+        model.apply(vv[0], b if s is None else b * s, vv[1], vv[2],
                     method="warp"),
-        prop_nk, n_nk)
+        prop_nk, n_nk, v=(variables, flow_nk, scale_nk))
     if model.warp_tensor == "features":
         add("nonkey scores head (B*(k-1))", lambda v, b, s=None:
             model.apply(v, b if s is None else b * s,
@@ -134,9 +138,9 @@ def main():
         add("update branch (B*k)", lambda v, b, s=None:
             model.apply(v, b if s is None else b * s, method="update_scores"),
             frames_all, B * k)
-        add("fuse 1x1 (B*k)", lambda v, b, s=None:
-            model.apply(v, b if s is None else b * s, upd_all, method="fuse"),
-            scores_all, B * k)
+        add("fuse 1x1 (B*k)", lambda vv, b, s=None:
+            model.apply(vv[0], b if s is None else b * s, vv[1], method="fuse"),
+            scores_all, B * k, v=(variables, upd_all))
 
     from accel_tpu.ops.upsample_argmax import upsample_argmax_or_oracle
 
