@@ -79,6 +79,10 @@ def make_defaults() -> Config:
                 # static max displacement (feature-res pixels) for the Pallas
                 # roll-accumulate warp kernel
                 "warp_max_disp": 16,
+                # warp numerics/lowering (serving knobs; see AccelNet):
+                # 'f32'|'native' and 'taps'|'stacked'
+                "warp_dtype": "f32",
+                "warp_gather": "taps",
                 # fast-variant knobs (0 = inherit from feat_stride /
                 # head_channels): coarser update-branch stride / slimmer head
                 "update_feat_stride": 0,
@@ -87,6 +91,9 @@ def make_defaults() -> Config:
                 "flow_width_mult": 1.0,
                 # update branch runs on 1/N-res input (1 = full res, paper)
                 "update_input_downscale": 1,
+                # fold that downscale into the update stem conv
+                # (ops/fold_downscale.py; serving knob, interior-exact)
+                "fold_update_downscale": False,
                 # stem: 'conv7' (default; XLA already lowers the 7x7/2 stem
                 # well — measured faster than s2d on v5e) | 's2d' (exact
                 # space-to-depth reparametrization, kept as an option)

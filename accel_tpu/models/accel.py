@@ -57,6 +57,17 @@ class AccelNet(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas_warp: bool = True
     warp_max_disp: int = 8
+    # warp numerics/lowering knobs (serving; A/B per the in-program policy
+    # before any default flip):
+    # warp_dtype:  'f32' (exact path — warp + scale-mod in float32) |
+    #              'native' (keep the propagated tensor's storage dtype
+    #              through the gather and scale-mod; halves the dominant
+    #              non-key HBM traffic for DFF's 1024-ch features)
+    # warp_gather: 'taps' (four take_along_axis ops) | 'stacked' (one
+    #              gather for all four bilinear taps; see
+    #              ops/warp.bilinear_warp_xla_stacked)
+    warp_dtype: str = "f32"
+    warp_gather: str = "taps"
     # fast-variant knobs (0 = inherit): the update branch may run at a
     # coarser output stride and/or a narrower fc6 head than the reference
     # branch — at 1024x2048 the dilated layer4 + 1024-wide fc6 of even a
@@ -65,6 +76,12 @@ class AccelNet(nn.Module):
     update_head_channels: int = 0
     update_input_downscale: int = 1
     flow_width_mult: float = 1.0
+    # fold the update branch's input downscale into its stem conv
+    # (ops/fold_downscale.py) instead of materializing the half-res image
+    # — kills the lane-hostile C=3 full-res resize pass (serving knob;
+    # interior-exact, edge ring differs from the resize path by the
+    # documented no-edge-renorm semantics)
+    fold_update_downscale: bool = False
     # stem: 'conv7' (measured faster on v5e; XLA lowers the 7x7/2 stem
     # well) | 's2d' (exact space-to-depth reparametrization, optional)
     stem: str = "conv7"
@@ -112,6 +129,7 @@ class AccelNet(nn.Module):
             name="ref_net",
         )
         if self.family == "accel":
+            fold = self.fold_update_downscale and self.update_input_downscale > 1
             self.update_net = DeepLab(
                 depth=self.update_depth,
                 num_classes=self.num_classes,
@@ -123,6 +141,7 @@ class AccelNet(nn.Module):
                 dtype=self.dtype,
                 quantize=self.quantize_update,
                 dilated_conv=self.dilated_conv,
+                input_downscale=self.update_input_downscale if fold else 1,
                 name="update_net",
             )
             self.fusion = nn.Conv(
@@ -159,7 +178,7 @@ class AccelNet(nn.Module):
     def update_scores(self, image, train: bool = False):
         feat_hw = (image.shape[1] // self.feat_stride, image.shape[2] // self.feat_stride)
         ds = self.update_input_downscale
-        if ds > 1:
+        if ds > 1 and not self.fold_update_downscale:
             image = resize_bilinear(image, (image.shape[1] // ds, image.shape[2] // ds))
         s = self.update_net(image, train=train)
         if s.shape[1:3] != feat_hw:
@@ -197,14 +216,21 @@ class AccelNet(nn.Module):
         )
 
     def warp(self, prop, flow, scale):
+        # warp_dtype 'native' keeps the propagated tensor in its storage
+        # dtype (bf16) through the gather — on DFF's 1024-ch features the
+        # f32 round trips are the dominant non-key HBM traffic. 'f32'
+        # (default) is the exactness/training path.
+        x = prop if self.warp_dtype == "native" else prop.astype(jnp.float32)
         warped = bilinear_warp(
-            prop.astype(jnp.float32), flow,
-            use_pallas=self.use_pallas_warp, max_disp=self.warp_max_disp,
+            x, flow, use_pallas=self.use_pallas_warp,
+            max_disp=self.warp_max_disp, gather=self.warp_gather,
         )
         if self.use_scale_field:
             if self.scale_field_norm == "mean1":
                 m = jnp.mean(scale, axis=(1, 2, 3), keepdims=True)
                 scale = scale / (jnp.abs(m) + 1e-6)
+            if self.warp_dtype == "native":
+                scale = scale.astype(warped.dtype)
             warped = warped * scale
         return warped
 
@@ -261,9 +287,12 @@ def build_model(cfg) -> AccelNet:
         dtype=dtype,
         use_pallas_warp=bool(net.use_pallas_warp),
         warp_max_disp=int(net.warp_max_disp),
+        warp_dtype=str(net.get("warp_dtype", "f32") or "f32"),
+        warp_gather=str(net.get("warp_gather", "taps") or "taps"),
         update_feat_stride=int(net.get("update_feat_stride", 0) or 0),
         update_head_channels=int(net.get("update_head_channels", 0) or 0),
         update_input_downscale=int(net.get("update_input_downscale", 1) or 1),
+        fold_update_downscale=bool(net.get("fold_update_downscale", False)),
         flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
         stem=str(net.get("stem", "conv7")),
         scale_field_norm=str(net.get("scale_field_norm", "none") or "none"),

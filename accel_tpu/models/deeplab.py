@@ -72,6 +72,9 @@ class DeepLab(nn.Module):
     quantize: bool = False
     # 'direct' | 's2b' | 'auto': lowering for dilated convs (ops/dilated.py)
     dilated_conv: str = "auto"
+    # >1: fold a factor-f bilinear input downscale into the stem conv
+    # (ops/fold_downscale.py); the caller passes FULL-res images
+    input_downscale: int = 1
 
     def setup(self):
         # 'pallas_fc6': the nine-tap Pallas kernel for the atrous fc6 HEAD
@@ -95,6 +98,7 @@ class DeepLab(nn.Module):
             dtype=self.dtype,
             quantize=self.quantize,
             dilated_conv=backbone_mode,
+            input_downscale=self.input_downscale,
         )
         self.head = DeepLabHead(
             num_classes=self.num_classes,

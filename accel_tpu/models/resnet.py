@@ -230,6 +230,11 @@ class DilatedResNet(nn.Module):
     quantize: bool = False
     # 'direct' | 's2b' | 'auto': lowering for the dilated stage convs (ops/dilated.py)
     dilated_conv: str = "auto"
+    # >1: the caller passes a FULL-res input and the factor-f bilinear
+    # downscale is folded into the stem conv (ops/fold_downscale.py) —
+    # the downscaled image never materializes. Same param tree as the
+    # resize+conv7 path (checkpoint-compatible); conv7 stem only.
+    input_downscale: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -248,7 +253,17 @@ class DilatedResNet(nn.Module):
             raise ValueError(f"bad output_stride {self.output_stride}")
 
         x = x.astype(self.dtype)
-        if self.stem == "s2d":
+        if self.input_downscale > 1:
+            if self.stem != "conv7":
+                raise ValueError("input_downscale folding needs the conv7 stem")
+            from accel_tpu.ops.fold_downscale import fold_downscale_conv_fn
+
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv1",
+                conv_general_dilated=fold_downscale_conv_fn(self.input_downscale),
+            )(x)
+        elif self.stem == "s2d":
             x = space_to_depth(x, 2)
             x = nn.Conv(
                 64, (4, 4), padding=[(2, 1), (2, 1)],

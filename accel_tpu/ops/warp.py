@@ -39,6 +39,50 @@ def _gather_corner(flat_feat: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray, H: 
     return g, valid.reshape(valid.shape[0], -1, 1)
 
 
+def bilinear_warp_xla_stacked(feat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear warp as ONE stacked gather (serving path for wide channels).
+
+    The 4-tap oracle below emits four ``take_along_axis`` ops, each a
+    separate gather+accumulate HBM round trip in feat's *compute* dtype —
+    at DFF's (N,64,128,1024) f32 that is ~0.4 GB of traffic per frame for
+    a 16 MB logical tensor. Here all four taps ride a single gather whose
+    output materializes once in feat's NATIVE dtype (bf16 on the serving
+    path — half the bytes), and the weighted tap-sum + zero-padding mask
+    fuse into one elementwise pass. Accumulation is f32, so for f32 feat
+    the result matches :func:`bilinear_warp_xla` exactly; for bf16 feat the
+    only difference is the (already-present) bf16 storage rounding of the
+    gathered taps.
+    """
+    N, H, W, C = feat.shape
+    f32 = jnp.float32
+    dx = flow[..., 0].astype(f32).reshape(N, -1)
+    dy = flow[..., 1].astype(f32).reshape(N, -1)
+    yy = jax.lax.broadcasted_iota(f32, (N, H, W), 1).reshape(N, -1)
+    xx = jax.lax.broadcasted_iota(f32, (N, H, W), 2).reshape(N, -1)
+    sy = yy + dy
+    sx = xx + dx
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    # (N, 4, HW) integer coords + weights, one gather for all taps
+    ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=1)
+    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=1)
+    w = jnp.stack(
+        [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx], axis=1
+    )
+    valid = (ys >= 0) & (ys < H) & (xs >= 0) & (xs < W)
+    idx = (jnp.clip(ys, 0, H - 1) * W + jnp.clip(xs, 0, W - 1)).reshape(N, -1, 1)
+    g = jnp.take_along_axis(feat.reshape(N, H * W, C), idx, axis=1)
+    g = g.reshape(N, 4, H * W, C).astype(f32)
+    w = jnp.where(valid, w, 0.0)[..., None]
+    out = jnp.sum(g * w, axis=1)
+    return out.reshape(N, H, W, C).astype(feat.dtype)
+
+
 def bilinear_warp_xla(feat: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Exact bilinear warp via 4 gathers. feat (N,H,W,C), flow (N,H,W,2)."""
     N, H, W, C = feat.shape
@@ -116,6 +160,7 @@ def bilinear_warp(
     flow: jnp.ndarray,
     use_pallas: bool = True,
     max_disp: int = 16,
+    gather: str = "taps",
 ) -> jnp.ndarray:
     """Dispatching entry point.
 
@@ -135,6 +180,8 @@ def bilinear_warp(
     fits_vmem = vmem_block_bytes(H, W, C, feat.dtype.itemsize) <= 12 * 2**20
     if use_pallas and _effective_platform() == "tpu" and C <= 64 and fits_vmem:
         return bilinear_warp_pallas(feat, flow, max_disp)
+    if gather == "stacked":
+        return bilinear_warp_xla_stacked(feat, flow)
     return bilinear_warp_xla(feat, flow)
 
 
