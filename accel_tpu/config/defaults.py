@@ -94,6 +94,9 @@ def make_defaults() -> Config:
                 # fold that downscale into the update stem conv
                 # (ops/fold_downscale.py; serving knob, interior-exact)
                 "fold_update_downscale": False,
+                # fold the FlowNet input downscale into per-frame conv1
+                # kernel-half partials (models/flownet.py)
+                "fold_flow_downscale": False,
                 # stem: 'conv7' (default; XLA already lowers the 7x7/2 stem
                 # well — measured faster than s2d on v5e) | 's2d' (exact
                 # space-to-depth reparametrization, kept as an option)

@@ -200,7 +200,9 @@ def _chunked_apply(model, variables, x, method: str, scale=None):
     c = max(d for d in range(1, limit + 1) if n % d == 0)
     chunks = x.reshape(n // c, c, *x.shape[1:])
     out = jax.lax.map(f, chunks)
-    return out.reshape(n, *out.shape[2:])
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(n, *a.shape[2:]), out
+    )
 
 
 def _update_fuse_tail(model, variables, frames_g, ref_all, input_scale=None):
@@ -219,15 +221,35 @@ def _update_fuse_tail(model, variables, frames_g, ref_all, input_scale=None):
     return fused.reshape(B, k, *fused.shape[1:])
 
 
-def _group_small_frames(model, variables, frames_g, input_scale=None):
-    """Downscale every frame of the group for FlowNet in one batched call."""
+def _group_flow_reps(model, variables, frames_g, input_scale=None):
+    """Per-frame FlowNet prologue for the whole group in one batched call:
+    the downscaled frames (standard path), or the folded conv1 stem
+    partials (``model.fold_flow_downscale`` — ops/fold_downscale.py; the
+    lane-hostile full-res C=3 downscale never materializes). Returns a
+    pytree of (B, k, ...) arrays either way."""
     B, k = frames_g.shape[:2]
-    small = _chunked_apply(
+    method = ("flow_stem_partials" if model.fold_flow_downscale
+              else "downscale_for_flow")
+    rep = _chunked_apply(
         model, variables,
         frames_g.reshape(B * k, *frames_g.shape[2:]),
-        "downscale_for_flow", scale=input_scale,
+        method, scale=input_scale,
     )
-    return small.reshape(B, k, *small.shape[1:])
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(B, k, *a.shape[1:]), rep
+    )
+
+
+def _rep_slice(rep, fn):
+    return jax.tree_util.tree_map(fn, rep)
+
+
+def _flow_from_reps(model, variables, cur_rep, anchor_rep):
+    """FlowNet pass from per-frame prologue reps (see _group_flow_reps)."""
+    if model.fold_flow_downscale:
+        return model.apply(variables, cur_rep[0], anchor_rep[1],
+                           method="flow_pair_from_partials")
+    return model.apply(variables, cur_rep, anchor_rep, method="flow_pair")
 
 
 def _group_step_direct_batched(model, variables, frames_g, input_scale=None):
@@ -251,12 +273,11 @@ def _group_step_direct_batched(model, variables, frames_g, input_scale=None):
     if k == 1:
         ref_all = key_scores[:, None]
     else:
-        small = _group_small_frames(model, variables, frames_g, input_scale)
-        cur_small = small[:, 1:].reshape(B * (k - 1), *small.shape[2:])
-        anchor_small = jnp.repeat(small[:, 0], k - 1, axis=0)
-        flow, scale = model.apply(
-            variables, cur_small, anchor_small, method="flow_pair"
-        )
+        rep = _group_flow_reps(model, variables, frames_g, input_scale)
+        cur_rep = _rep_slice(
+            rep, lambda a: a[:, 1:].reshape(B * (k - 1), *a.shape[2:]))
+        anchor_rep = _rep_slice(rep, lambda a: jnp.repeat(a[:, 0], k - 1, axis=0))
+        flow, scale = _flow_from_reps(model, variables, cur_rep, anchor_rep)
         prop_rep = jnp.repeat(prop, k - 1, axis=0)
         warped = model.apply(variables, prop_rep, flow, scale, method="warp")
         ref_nonkey = model.apply(
@@ -291,12 +312,12 @@ def _group_step_incremental_batched(model, variables, frames_g, input_scale=None
     if k == 1:
         ref_all = key_scores[:, None]
     else:
-        small = _group_small_frames(model, variables, frames_g, input_scale)
-        cur_small = small[:, 1:].reshape(B * (k - 1), *small.shape[2:])
-        prev_small = small[:, :-1].reshape(B * (k - 1), *small.shape[2:])
-        flow, scale = model.apply(
-            variables, cur_small, prev_small, method="flow_pair"
-        )
+        rep = _group_flow_reps(model, variables, frames_g, input_scale)
+        cur_rep = _rep_slice(
+            rep, lambda a: a[:, 1:].reshape(B * (k - 1), *a.shape[2:]))
+        prev_rep = _rep_slice(
+            rep, lambda a: a[:, :-1].reshape(B * (k - 1), *a.shape[2:]))
+        flow, scale = _flow_from_reps(model, variables, cur_rep, prev_rep)
         flow = flow.reshape(B, k - 1, *flow.shape[1:])
         scale = scale.reshape(B, k - 1, *scale.shape[1:])
         carry, warped_steps = prop, []
@@ -350,8 +371,8 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
         prop = model.apply(v, frame, method="ref_propagated")
         return prop, model.apply(v, prop, method="ref_scores_from_propagated")
 
-    def prop_step(v, carry, cur_small, anchor_small):
-        flow, scale = model.apply(v, cur_small, anchor_small, method="flow_pair")
+    def prop_step(v, carry, cur_rep, anchor_rep):
+        flow, scale = _flow_from_reps(model, v, cur_rep, anchor_rep)
         warped = model.apply(v, carry, flow, scale, method="warp")
         return warped, model.apply(v, warped, method="ref_scores_from_propagated")
 
@@ -368,14 +389,10 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
 
     prop, ref_scores = key_fwd(variables, key_frame)
 
-    # downscale every frame for FlowNet once (each frame is both a 'cur' and
-    # the next step's 'anchor')
+    # FlowNet prologue for every frame once (each frame is both a 'cur'
+    # and the next step's 'anchor')
     if k > 1 and model.family in ("dff", "accel"):
-        flat = frames_g.reshape(B * k, *frames_g.shape[2:])
-        small = _chunked_apply(
-            model, variables, flat, "downscale_for_flow", scale=input_scale
-        )
-        small = small.reshape(B, k, *small.shape[1:])
+        rep = _group_flow_reps(model, variables, frames_g, input_scale)
 
     outs = [frame_output(variables, ref_scores, key_frame)]
     anchor_i = 0
@@ -385,7 +402,9 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
         if input_scale is not None:
             cur = cur * input_scale
         warped, ref_s = prop_step(
-            variables, carry, small[:, i], small[:, anchor_i]
+            variables, carry,
+            _rep_slice(rep, lambda a: a[:, i]),
+            _rep_slice(rep, lambda a: a[:, anchor_i]),
         )
         outs.append(frame_output(variables, ref_s, cur))
         if propagate == "incremental":

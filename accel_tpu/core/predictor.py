@@ -114,8 +114,16 @@ def make_key_cur_predictors(
         if model.family == "accel":
             upd = model.apply(v, image, method="update_scores")
             scores = model.apply(v, scores, upd, method="fuse")
-        small = model.apply(v, image, method="downscale_for_flow") \
-            if model.family in ("dff", "accel") else image
+        if model.family in ("dff", "accel"):
+            # 'anchor_small' carries the next frame's flow anchor: the
+            # downscaled frame, or (fold_flow_downscale) its conv1
+            # anchor-half stem partial
+            if model.fold_flow_downscale:
+                small = model.apply(v, image, method="flow_stem_partials")[1]
+            else:
+                small = model.apply(v, image, method="downscale_for_flow")
+        else:
+            small = image
         return {
             "prop": prop,
             "anchor_small": small,
@@ -123,8 +131,15 @@ def make_key_cur_predictors(
         }
 
     def cur_fn(v, image, anchor_small, prop):
-        small = model.apply(v, image, method="downscale_for_flow")
-        flow, scale = model.apply(v, small, anchor_small, method="flow_pair")
+        if model.fold_flow_downscale:
+            parts = model.apply(v, image, method="flow_stem_partials")
+            flow, scale = model.apply(
+                v, parts[0], anchor_small, method="flow_pair_from_partials"
+            )
+            small = parts[1]
+        else:
+            small = model.apply(v, image, method="downscale_for_flow")
+            flow, scale = model.apply(v, small, anchor_small, method="flow_pair")
         warped = model.apply(v, prop, flow, scale, method="warp")
         scores = model.apply(v, warped, method="ref_scores_from_propagated")
         if model.family == "accel":

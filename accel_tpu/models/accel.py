@@ -82,6 +82,10 @@ class AccelNet(nn.Module):
     # interior-exact, edge ring differs from the resize path by the
     # documented no-edge-renorm semantics)
     fold_update_downscale: bool = False
+    # fold the FlowNet input downscale into conv1 per-frame kernel-half
+    # partials (models/flownet.py _Conv1 + ops/fold_downscale.py); group
+    # steps then never materialize the downscaled frames or the 6-ch pair
+    fold_flow_downscale: bool = False
     # stem: 'conv7' (measured faster on v5e; XLA lowers the 7x7/2 stem
     # well) | 's2d' (exact space-to-depth reparametrization, optional)
     stem: str = "conv7"
@@ -191,6 +195,17 @@ class AccelNet(nn.Module):
         h, w = frames.shape[-3] // ds, frames.shape[-2] // ds
         return resize_bilinear(frames, (h, w))
 
+    def _flow_post(self, flow_small, scale_small, feat_hw):
+        ds = self.flow_input_downscale
+        flow = flow_to_feature_res(flow_small, feat_hw, ds / self.feat_stride)
+        if self.warp_dtype == "native":
+            # the scale-field resize to feature res is a dense-matmul pass
+            # over head_channels-wide tensors (33 MB/frame f32 for DFF);
+            # the native-dtype warp path keeps it in the storage dtype
+            scale_small = scale_small.astype(self.dtype)
+        scale = resize_bilinear(scale_small, feat_hw)
+        return flow, scale
+
     def flow_pair(self, cur_small, anchor_small, train: bool = False):
         """Flow from already-downscaled frames (lets callers downscale each
         frame once instead of twice — as cur and as the next anchor)."""
@@ -201,9 +216,29 @@ class AccelNet(nn.Module):
             cur_small.shape[1] * ds // self.feat_stride,
             cur_small.shape[2] * ds // self.feat_stride,
         )
-        flow = flow_to_feature_res(flow_small, feat_hw, ds / self.feat_stride)
-        scale = resize_bilinear(scale_small, feat_hw)
-        return flow, scale
+        return self._flow_post(flow_small, scale_small, feat_hw)
+
+    def flow_stem_partials(self, frames):
+        """Per-frame FlowNet conv1 kernel-half partials on FULL-res frames
+        — the folded flow prologue (fold_flow_downscale; the downscaled
+        frame and the 6-ch pair concat never materialize). Each frame is
+        computed once per role; pairs combine with a cheap add at 1/2f res.
+        """
+        f = self.flow_input_downscale
+        return (
+            self.flownet.stem_partial(frames, "cur", f),
+            self.flownet.stem_partial(frames, "anchor", f),
+        )
+
+    def flow_pair_from_partials(self, cur_part, anchor_part):
+        """FlowNet from conv1 stem partials (see flow_stem_partials)."""
+        flow_small, scale_small = self.flownet.from_conv1(cur_part + anchor_part)
+        ds = self.flow_input_downscale
+        feat_hw = (
+            cur_part.shape[1] * 2 * ds // self.feat_stride,
+            cur_part.shape[2] * 2 * ds // self.feat_stride,
+        )
+        return self._flow_post(flow_small, scale_small, feat_hw)
 
     def flow(self, cur, anchor, train: bool = False):
         """Flow mapping cur-frame pixels to their anchor-frame source, at
@@ -211,6 +246,12 @@ class AccelNet(nn.Module):
 
         ``cur``/``anchor``: (N,H,W,3) normalized full-res frames.
         """
+        if self.fold_flow_downscale:
+            f = self.flow_input_downscale
+            return self.flow_pair_from_partials(
+                self.flownet.stem_partial(cur, "cur", f),
+                self.flownet.stem_partial(anchor, "anchor", f),
+            )
         return self.flow_pair(
             self.downscale_for_flow(cur), self.downscale_for_flow(anchor), train
         )
@@ -293,6 +334,7 @@ def build_model(cfg) -> AccelNet:
         update_head_channels=int(net.get("update_head_channels", 0) or 0),
         update_input_downscale=int(net.get("update_input_downscale", 1) or 1),
         fold_update_downscale=bool(net.get("fold_update_downscale", False)),
+        fold_flow_downscale=bool(net.get("fold_flow_downscale", False)),
         flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
         stem=str(net.get("stem", "conv7")),
         scale_field_norm=str(net.get("scale_field_norm", "none") or "none"),

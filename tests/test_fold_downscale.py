@@ -147,3 +147,53 @@ def test_model_fold_update_downscale():
     gn = jax.tree_util.tree_reduce(
         lambda s, x: s + float(jnp.sum(jnp.abs(x))), g, 0.0)
     assert np.isfinite(gn) and gn > 0
+
+
+def test_flownet_conv1_split_matches_pair():
+    """_Conv1 kernel-half partials (fold=1: identity downscale) must sum to
+    the standard pair conv exactly — the folded flow prologue's algebra."""
+    from accel_tpu.models.flownet import FlowNetS
+
+    rng = np.random.default_rng(4)
+    net = FlowNetS(scale_channels=3, width_mult=0.5, dtype=jnp.float32)
+    cur = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    anc = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    pair = jnp.concatenate([cur, anc], axis=-1)
+    v = net.init(jax.random.PRNGKey(0), pair)
+    c1 = net.apply(v, pair, method=lambda m, p: m.conv1(p))
+    cp = net.apply(v, cur, method=lambda m, f: m.stem_partial(f, "cur", 1))
+    ap = net.apply(v, anc, method=lambda m, f: m.stem_partial(f, "anchor", 1))
+    np.testing.assert_allclose(np.asarray(cp + ap), np.asarray(c1),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fold_flow_pipeline_matches_standard():
+    """clip_predictions with fold_flow_downscale must track the standard
+    (resize -> pair conv) path: same param tree, near-identical flow, and
+    overwhelmingly identical predictions."""
+    from accel_tpu.core.pipeline import clip_predictions
+    from accel_tpu.models.accel import AccelNet
+
+    kw = dict(family="accel", ref_depth=18, update_depth=18, num_classes=5,
+              feat_stride=16, head_channels=64, flow_input_downscale=2,
+              norm="groupnorm", dtype=jnp.float32, use_pallas_warp=False)
+    m0 = AccelNet(**kw)
+    m1 = AccelNet(fold_flow_downscale=True, **kw)
+    rng = np.random.default_rng(5)
+    # FlowNet needs its input (H/f) divisible by 64 -> 128x256 frames
+    clip = jnp.asarray(rng.standard_normal((1, 4, 128, 256, 3)) * 0.3,
+                       jnp.float32)
+    v = m0.init(jax.random.PRNGKey(1), clip[:, 0], clip[:, 1])
+    v1 = m1.init(jax.random.PRNGKey(1), clip[:, 0], clip[:, 1])
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+
+    f0 = m0.apply(v, clip[:, 0], clip[:, 1], method="flow")
+    f1 = m1.apply(v, clip[:, 0], clip[:, 1], method="flow")
+    np.testing.assert_allclose(np.asarray(f0[0]), np.asarray(f1[0]),
+                               atol=2e-3)
+
+    p0 = np.asarray(clip_predictions(m0, v, clip, 4, "incremental"))
+    p1 = np.asarray(clip_predictions(m1, v, clip, 4, "incremental"))
+    assert p0.shape == p1.shape
+    agree = (p0 == p1).mean()
+    assert agree > 0.97, agree

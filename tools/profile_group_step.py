@@ -39,7 +39,25 @@ def main():
     ap.add_argument("--clip-batch", type=int, default=4)
     ap.add_argument("--config", default="accel18",
                     choices=["accel18", "accel18_fast", "dff"])
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="AccelNet constructor overrides for lowering A/Bs, "
+                         "e.g. --set warp_dtype=native --set warp_gather=stacked "
+                         "--set fold_update_downscale=true")
     args = ap.parse_args()
+
+    overrides = {}
+    for kv in args.set:
+        key, val = kv.split("=", 1)
+        if val.lower() in ("true", "false"):
+            val = val.lower() == "true"
+        else:
+            try:
+                val = int(val)
+            except ValueError:
+                pass
+        overrides[key] = val
+    if overrides:
+        print(f"overrides: {overrides}", flush=True)
 
     from bench import SlopeMeter, _build, _flops_of, _init_variables
     from accel_tpu.core.pipeline import clip_predictions
@@ -50,9 +68,13 @@ def main():
     use_pallas = on_tpu
 
     if args.config == "accel18":
-        model = _build("accel", 101, 18, use_pallas)
+        base_kw = dict(
+            family="accel", ref_depth=101, update_depth=18, num_classes=19,
+            feat_stride=16, head_channels=1024, head_dilation=6,
+            dtype=jnp.bfloat16, use_pallas_warp=use_pallas, warp_max_disp=8,
+        )
     elif args.config == "accel18_fast":
-        model = AccelNet(
+        base_kw = dict(
             family="accel", ref_depth=101, update_depth=18, num_classes=19,
             feat_stride=16, head_channels=1024, head_dilation=6,
             dtype=jnp.bfloat16, use_pallas_warp=use_pallas, warp_max_disp=8,
@@ -60,11 +82,13 @@ def main():
             flow_input_downscale=4, flow_width_mult=0.5,
         )
     else:
-        model = AccelNet(
+        base_kw = dict(
             family="dff", ref_depth=101, num_classes=19, feat_stride=16,
             head_channels=1024, dtype=jnp.bfloat16, use_pallas_warp=use_pallas,
             warp_max_disp=16, flow_input_downscale=4, flow_width_mult=0.5,
         )
+    base_kw.update(overrides)
+    model = AccelNet(**base_kw)
 
     variables = _init_variables(model, H, W)
     rng = np.random.default_rng(0)
