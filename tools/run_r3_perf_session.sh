@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-3 TPU perf session (VERDICT r2 #1/#3/#5 measurement batch). Waits
+# for the extreme battery (if running) to release the chip, then:
+#   1. corrected warp max_disp knee sweep (ann_pos k-1: --offsets 0 is the
+#      KEY offset; the battery's --offsets 4 run evaluated the un-warped
+#      ann_pos-0 row where max_disp is irrelevant)
+#   2. per-stage profiles + lowering A/Bs (warp_dtype/warp_gather, the
+#      folded downscale prologues)
+#   3. B=8 clip-staging probes (probe_b8 serve/fused arms)
+# Run detached:
+#   setsid nohup bash tools/run_r3_perf_session.sh > /tmp/perf_r3.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+
+# Wait for the battery: pass its REAL bash PID as $1 (read it from ps, not
+# from a pid file — $! across a setsid fork recorded the wrong pid once and
+# this session then ran concurrently with the battery). Belt-and-braces:
+# also stop waiting once the log prints its done marker.
+BATTERY_PID="${1:-}"
+if [ -n "$BATTERY_PID" ]; then
+  while kill -0 "$BATTERY_PID" 2>/dev/null \
+        && ! grep -q "battery done" /tmp/extreme_battery.log 2>/dev/null; do
+    sleep 60
+  done
+fi
+
+log() { echo "##### $* $(date +%H:%M:%S)"; }
+
+log MAXDISP sweep at ann_pos=4
+for d in 4 8 16 32; do
+  log MAXDISP $d
+  timeout 1800 python experiments/test.py \
+      --cfg experiments/cfgs/extreme_synth_accel18.yaml \
+      --offsets 0 --warp-max-disp $d || echo "MAXDISP $d FAILED rc=$?"
+done
+
+log PROFILE dff baseline
+timeout 2400 python tools/profile_group_step.py --config dff \
+  || echo "FAILED rc=$?"
+log PROFILE dff native+stacked
+timeout 2400 python tools/profile_group_step.py --config dff \
+  --set warp_dtype=native --set warp_gather=stacked || echo "FAILED rc=$?"
+log PROFILE dff native+stacked+foldflow
+timeout 2400 python tools/profile_group_step.py --config dff \
+  --set warp_dtype=native --set warp_gather=stacked \
+  --set fold_flow_downscale=true || echo "FAILED rc=$?"
+log PROFILE fast clean
+timeout 2400 python tools/profile_group_step.py --config accel18_fast \
+  || echo "FAILED rc=$?"
+log PROFILE fast folded
+timeout 2400 python tools/profile_group_step.py --config accel18_fast \
+  --set fold_update_downscale=true --set fold_flow_downscale=true \
+  || echo "FAILED rc=$?"
+log PROFILE accel18 foldflow
+timeout 2400 python tools/profile_group_step.py --config accel18 \
+  --set fold_flow_downscale=true || echo "FAILED rc=$?"
+
+log PROBE_B8 arms
+for arm in serve fused; do
+  log PROBE_B8 $arm
+  timeout 2400 python tools/probe_b8.py $arm || echo "B8 $arm FAILED rc=$?"
+done
+log perf session done
