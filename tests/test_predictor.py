@@ -197,3 +197,23 @@ def test_checkpoint_overwrite_same_step(tiny_accel, tmp_path):
     a = jax.tree.leaves(restored.variables["params"])[0]
     b = jax.tree.leaves(state.variables["params"])[0]
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0.5
+
+
+def test_streaming_fold_flow_matches_standard(tiny_accel):
+    """The key/cur streaming protocol with fold_flow_downscale (anchor
+    cache carries the conv1 anchor-half partial) must agree with the
+    standard path's predictions almost everywhere (edge-ring contract of
+    ops/fold_downscale.py)."""
+    from accel_tpu.core.serving import VideoSegmenter
+
+    m, variables = tiny_accel
+    m_fold = m.clone(fold_flow_downscale=True)
+    rng = np.random.default_rng(11)
+    clip = jnp.asarray(rng.standard_normal((1, 4, 128, 128, 3)), jnp.float32) * 0.1
+
+    seg0 = VideoSegmenter(m, variables, interval=4)
+    seg1 = VideoSegmenter(m_fold, variables, interval=4)
+    p0 = np.asarray(seg0.push_clip(clip))
+    p1 = np.asarray(seg1.push_clip(clip))
+    agree = (p0 == p1).mean()
+    assert agree > 0.97, f"agreement {agree}"
