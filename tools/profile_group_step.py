@@ -149,6 +149,22 @@ def main():
         model.apply(vv[0], b if s is None else b * s, vv[1],
                     method="flow_pair")[0],
         small_cur, n_nk, v=(variables, small_anchor))
+    if model.fold_flow_downscale:
+        # the folded prologue the composite actually dispatches
+        add("flow stem partials (B*k)", lambda v, b, s=None:
+            model.apply(v, b if s is None else b * s,
+                        method="flow_stem_partials")[0],
+            frames_all, B * k)
+        c1 = max(int(64 * model.flow_width_mult), 16)
+        hp, wp = H // (2 * ds), W // (2 * ds)
+        part_cur = jnp.asarray(
+            rng.standard_normal((n_nk, hp, wp, c1)), jnp.bfloat16)
+        part_anc = jnp.asarray(
+            rng.standard_normal((n_nk, hp, wp, c1)), jnp.bfloat16)
+        add("flow tail from partials (B*(k-1))", lambda vv, b, s=None:
+            model.apply(vv[0], b if s is None else b * s, vv[1],
+                        method="flow_pair_from_partials")[0],
+            part_cur, n_nk, v=(variables, part_anc))
     add("warp+scale-mod (B*(k-1))", lambda vv, b, s=None:
         model.apply(vv[0], b if s is None else b * s, vv[1], vv[2],
                     method="warp"),
