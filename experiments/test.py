@@ -38,6 +38,12 @@ def parse_args():
                    help="int8 serving quantization of both branches "
                         "(network.quantize_ref/quantize_update) for this "
                         "eval; checkpoints restore unchanged")
+    p.add_argument("--set-network", action="append", default=[],
+                   metavar="K=V",
+                   help="override cfg.network fields for this eval (e.g. "
+                        "--set-network warp_dtype=native --set-network "
+                        "fold_flow_downscale=true) — serving-lowering "
+                        "mIoU-neutrality checks on existing checkpoints")
     p.add_argument("--warp-max-disp", type=int, default=None,
                    help="override network.warp_max_disp (Pallas warp "
                         "displacement clamp, feature-res px) for this eval "
@@ -79,6 +85,15 @@ def main():
         cfg.network.quantize_update = True
     if args.warp_max_disp is not None:
         cfg.network.warp_max_disp = args.warp_max_disp
+    for kv in args.set_network:
+        key, val = kv.split("=", 1)
+        if val.lower() in ("true", "false"):
+            cfg.network[key] = val.lower() == "true"
+        else:
+            try:
+                cfg.network[key] = int(val)
+            except ValueError:
+                cfg.network[key] = val
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_dir = create_logger(cfg.output_path, cfg_name, cfg.dataset.test_image_set)
 
