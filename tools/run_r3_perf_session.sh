@@ -61,3 +61,22 @@ for arm in serve fused; do
   timeout 2400 python tools/probe_b8.py $arm || echo "B8 $arm FAILED rc=$?"
 done
 log perf session done
+
+# serving-lowering mIoU-neutrality on the fresh extreme checkpoints
+# (compare against the battery's recorded rows: dff off4 84.53, accel18
+# off4 81.59)
+log NEUTRALITY dff tuned
+timeout 1800 python experiments/test.py \
+    --cfg experiments/cfgs/extreme_synth_dff.yaml --offsets 0 \
+    --set-network warp_dtype=native --set-network warp_gather=stacked \
+    --set-network fold_flow_downscale=true || echo "FAILED rc=$?"
+log NEUTRALITY accel18 tuned
+timeout 1800 python experiments/test.py \
+    --cfg experiments/cfgs/extreme_synth_accel18.yaml --offsets 0 \
+    --set-network fold_flow_downscale=true || echo "FAILED rc=$?"
+log NEUTRALITY fast tuned
+timeout 1800 python experiments/test.py \
+    --cfg experiments/cfgs/extreme_synth_accel18_fast.yaml --offsets 0 \
+    --set-network fold_flow_downscale=true \
+    --set-network fold_update_downscale=true || echo "FAILED rc=$?"
+log neutrality done
