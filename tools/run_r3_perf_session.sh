@@ -80,3 +80,21 @@ timeout 1800 python experiments/test.py \
     --set-network fold_flow_downscale=true \
     --set-network fold_update_downscale=true || echo "FAILED rc=$?"
 log neutrality done
+
+# k=10 crossover: direct-vs-incremental at doubled group displacement
+# (extreme set covers keyframes to annotated-8 -> ann_pos 8 = key offset 1)
+for mode in incremental direct; do
+  log KSWEEP clip k=10 $mode
+  timeout 1800 python experiments/test.py \
+      --cfg experiments/cfgs/extreme_synth_accel18_clip.yaml \
+      --interval 10 --offsets 1 --propagate $mode || echo "FAILED rc=$?"
+done
+# and the max_disp clamp under the k=10 direct displacement
+for d in 4 8 16; do
+  log KSWEEP maxdisp $d k=10 direct
+  timeout 1800 python experiments/test.py \
+      --cfg experiments/cfgs/extreme_synth_accel18_clip.yaml \
+      --interval 10 --offsets 1 --propagate direct --warp-max-disp $d \
+      || echo "FAILED rc=$?"
+done
+log kweep done
