@@ -115,15 +115,48 @@ def main():
 
     stages = {}
 
+    # v5e roofline constants (bf16 MXU peak; HBM2 bandwidth).
+    PEAK_TFLOPS = 197e12
+    HBM_BW = 819e9
+
+    def _bytes_of_tree(tree):
+        return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                   for x in jax.tree.leaves(tree) if hasattr(x, "shape"))
+
+    def _io_bytes(fn, v, base):
+        """Analytic HBM traffic lower bound: operand bytes + result bytes.
+
+        This is the fusion-ideal minimum (every input read once, every
+        output written once, all intermediates resident in VMEM) — a real
+        multi-layer stage that spills inter-layer activations to HBM can
+        only exceed it, so ``bound = max(flops/peak, bytes/bw)`` is a true
+        roofline for the stage.
+        """
+        try:
+            out = jax.eval_shape(fn, v, base)
+        except Exception:
+            return None
+        return _bytes_of_tree((v, base)) + _bytes_of_tree(out)
+
     def add(name, fn, base, per_call_frames, v=variables):
         # SlopeMeter passes (variables, base, scale); fn(v, base, scale)
         m = SlopeMeter(fn, v, base, verbose=False).compile()
         t = min(m.draw() for _ in range(2))
         fl = _flops_of(fn, v, base)
-        stages[name] = (t, per_call_frames, fl)
+        nbytes = _io_bytes(fn, v, base)
+        stages[name] = (t, per_call_frames, fl, nbytes)
+        roof = ""
+        if nbytes:
+            t_hbm = nbytes / HBM_BW
+            t_mxu = (fl or 0) / PEAK_TFLOPS
+            t_bound = max(t_hbm, t_mxu)
+            which = "HBM" if t_hbm >= t_mxu else "MXU"
+            roof = (f"  roof {t_bound * 1e3:7.3f} ms ({which})"
+                    f"  {100 * t_bound / t:5.1f}% of roof")
         print(f"  {name:44s} {t * 1e3:9.3f} ms/call  "
               f"{t * 1e3 / per_call_frames:7.3f} ms/frame"
-              + (f"  {fl / t / 1e12:6.1f} TF/s" if fl else ""), flush=True)
+              + (f"  {fl / t / 1e12:6.1f} TF/s" if fl else "       -    ")
+              + roof, flush=True)
 
     print(f"== {args.config} stage breakdown @ {H}x{W} B={B} k={k} "
           f"(batched-direct shapes) ==", flush=True)
@@ -198,7 +231,7 @@ def main():
 
     add("COMPOSITE incremental group (B,k)", composite_incr, clip, B * k)
 
-    t_sum = sum(t for name, (t, _, _) in stages.items()
+    t_sum = sum(t for name, (t, *_rest) in stages.items()
                 if not name.startswith("COMPOSITE"))
     t_comp = stages["COMPOSITE direct group (B,k)"][0]
     print(f"\nsum of stages: {t_sum * 1e3:.3f} ms/group; composite: "

@@ -98,3 +98,11 @@ for d in 4 8 16; do
       || echo "FAILED rc=$?"
 done
 log kweep done
+
+# (appended mid-run) same-session clean accel18 baseline for the foldflow
+# A/B (the 03:50 clean run predates the arg-slot fix), with the roofline
+# columns added to the profiler
+log PROFILE accel18 clean
+timeout 2400 python tools/profile_group_step.py --config accel18 \
+  || echo "FAILED rc=$?"
+log appended profiles done
