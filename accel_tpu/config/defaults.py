@@ -77,8 +77,15 @@ def make_defaults() -> Config:
                 # use the Pallas warp kernel (else pure-XLA gather oracle)
                 "use_pallas_warp": True,
                 # static max displacement (feature-res pixels) for the Pallas
-                # roll-accumulate warp kernel
-                "warp_max_disp": 16,
+                # roll-accumulate warp kernel. Unified at 8 (was 16 here vs 8
+                # in the model/bench — VERDICT r2 #7): the r3 extreme-motion
+                # probe (tools/probe_flow_magnitude.py) measured the learned
+                # flow's max at 2.33 feature px (p99.9 2.29) on 8-24 px/frame
+                # motion, for BOTH direct multi-frame and per-step warps —
+                # FlowNet-S compresses multi-frame displacement rather than
+                # scaling it, so 8 is ~4x the observed ceiling and the mIoU
+                # knee sweep at d=4/8/16/32 was bit-identical (81.59).
+                "warp_max_disp": 8,
                 # warp numerics/lowering (serving knobs; see AccelNet):
                 # 'f32'|'native' and 'taps'|'stacked'
                 "warp_dtype": "f32",
