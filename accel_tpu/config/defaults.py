@@ -54,7 +54,11 @@ def make_defaults() -> Config:
                 # PAIR training recipe requires: a pair-trained scale field
                 # is calibrated for exactly one warp and compounds under
                 # cascade). Must match TRAIN.objective: clip<->incremental,
-                # pair<->direct.
+                # pair<->direct. Third mode 'composed' (r3): per-step flows
+                # composed into one key->frame warp per frame — single
+                # resample (direct's sharpness) at gap-scaled displacement
+                # (incremental's tracking); see core/pipeline.py
+                # _group_step_composed_batched for the measured motivation.
                 "propagate": "incremental",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,

@@ -290,6 +290,99 @@ def _group_step_direct_batched(model, variables, frames_g, input_scale=None):
     return _update_fuse_tail(model, variables, frames_g, ref_all, input_scale)
 
 
+def _warp_field(model, field, flow):
+    """Bilinear-warp a small per-pixel FIELD (flow or scale) by a step flow
+    — the composition primitive of composed-mode propagation. f32 for
+    exact cascade arithmetic; kernel/gather dispatch per model knobs."""
+    from accel_tpu.ops.warp import bilinear_warp
+
+    return bilinear_warp(
+        field.astype(jnp.float32), flow, use_pallas=model.use_pallas_warp,
+        max_disp=model.warp_max_disp, gather=model.warp_gather,
+    )
+
+
+def _compose_fields(model, variables, flow, scale):
+    """Cascade per-step flow/scale fields into per-frame composed fields.
+
+    ``flow`` (B, k-1, h, w, 2): step i maps frame i+1's pixels to their
+    frame-i source (pull convention). ``scale`` (B, k-1, h, w, C): step
+    i's DFF scale field (un-normalized). Returns composed (flow, scale)
+    of the same shapes where entry i maps frame i+1 directly to the
+    KEYFRAME: ``F_i(p) = f_i(p) + F_{i-1}(p + f_i(p))`` and
+    ``S_i(p) = norm(s_i)(p) * S_{i-1}(p + f_i(p))`` — i.e. the warp
+    cascade incremental mode applies to the propagated tensor, applied to
+    the cheap fields instead. Out-of-frame samples zero-pad (the warp's
+    own OOB semantics), so composed scale -> 0 exactly where incremental
+    propagation would have zeroed content.
+    """
+    k1 = flow.shape[1]
+    acc_f = flow[:, 0]
+    acc_s = model.apply(variables, scale[:, 0], method="norm_scale")
+    comp_f, comp_s = [acc_f], [acc_s]
+    for i in range(1, k1):
+        stepf = flow[:, i]
+        steps_ = model.apply(variables, scale[:, i], method="norm_scale")
+        acc_f = stepf + _warp_field(model, acc_f, stepf)
+        acc_s = steps_ * _warp_field(model, acc_s, stepf)
+        comp_f.append(acc_f)
+        comp_s.append(acc_s)
+    return jnp.stack(comp_f, 1), jnp.stack(comp_s, 1)
+
+
+def _group_step_composed_batched(model, variables, frames_g, input_scale=None):
+    """Composed-flow group step (``propagate='composed'`` — r3 addition).
+
+    Motivation (measured, tools/probe_flow_magnitude.py + the extreme
+    battery): FlowNet-S does NOT scale its prediction with temporal gap —
+    direct mode's single key->frame flow under-displaces multi-frame
+    motion — while incremental mode tracks displacement but resamples the
+    propagated tensor k-1 times, compounding bilinear blur. Composed mode
+    cascades only the CHEAP per-step fields (2-ch flow + scale field, one
+    small warp per step) and samples the expensive propagated tensor
+    exactly ONCE per frame at the composed displacement: direct's
+    single-resample sharpness with incremental's gap-scaled displacement.
+    Sequential work is O(k) on (h, w, 2+C) fields; all wide compute stays
+    batched exactly like direct mode. The final warp gets a widened
+    static displacement bound ((k-1) x per-step) since composed flows sum
+    per-step displacements.
+    """
+    B, k = frames_g.shape[:2]
+    key_frame = frames_g[:, 0]
+    if input_scale is not None:
+        key_frame = key_frame * input_scale
+    prop = model.apply(variables, key_frame, method="ref_propagated")
+    key_scores = model.apply(variables, prop, method="ref_scores_from_propagated")
+    if k == 1:
+        ref_all = key_scores[:, None]
+    else:
+        rep = _group_flow_reps(model, variables, frames_g, input_scale)
+        cur_rep = _rep_slice(
+            rep, lambda a: a[:, 1:].reshape(B * (k - 1), *a.shape[2:]))
+        prev_rep = _rep_slice(
+            rep, lambda a: a[:, :-1].reshape(B * (k - 1), *a.shape[2:]))
+        flow, scale = _flow_from_reps(model, variables, cur_rep, prev_rep)
+        flow = flow.reshape(B, k - 1, *flow.shape[1:])
+        scale = scale.reshape(B, k - 1, *scale.shape[1:])
+        cflow, cscale = _compose_fields(model, variables, flow, scale)
+        prop_rep = jnp.repeat(prop, k - 1, axis=0)
+        warped = model.apply(
+            variables, prop_rep,
+            cflow.reshape(B * (k - 1), *cflow.shape[2:]),
+            cscale.reshape(B * (k - 1), *cscale.shape[2:]),
+            method="warp", normalize_scale=False,
+            max_disp=int(model.warp_max_disp) * (k - 1),
+        )
+        ref_nonkey = model.apply(
+            variables, warped, method="ref_scores_from_propagated"
+        )
+        ref_all = jnp.concatenate(
+            [key_scores[:, None], ref_nonkey.reshape(B, k - 1, *ref_nonkey.shape[1:])],
+            axis=1,
+        )
+    return _update_fuse_tail(model, variables, frames_g, ref_all, input_scale)
+
+
 def _group_step_incremental_batched(model, variables, frames_g, input_scale=None):
     """Incremental-mode (frame-to-frame cascade — the Accel paper's own
     semantics, the flagship default since r3) group step with the
@@ -345,9 +438,10 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
 
     Step 0 is the keyframe (reference branch runs); steps 1..k-1 propagate
     by flow-warp. ``propagate``: 'incremental' (anchor = previous frame,
-    Accel) or 'direct' (anchor = keyframe, DFF). Direct mode has no
-    sequential dependence between non-key frames and takes the batched
-    fast path.
+    Accel), 'direct' (anchor = keyframe, DFF), or 'composed' (per-step
+    flows composed into one key->frame warp per frame — see
+    ``_group_step_composed_batched``). Direct mode has no sequential
+    dependence between non-key frames and takes the batched fast path.
 
     ``remat=True`` wraps the keyframe forward and every per-frame step in
     ``jax.checkpoint`` so a clip-objective backward holds only one frame's
@@ -360,6 +454,9 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
         if propagate == "direct":
             return _group_step_direct_batched(model, variables, frames_g,
                                               input_scale)
+        if propagate == "composed":
+            return _group_step_composed_batched(model, variables, frames_g,
+                                                input_scale)
         return _group_step_incremental_batched(model, variables, frames_g,
                                                input_scale)
     B, k = frames_g.shape[:2]
@@ -376,6 +473,23 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
         warped = model.apply(v, carry, flow, scale, method="warp")
         return warped, model.apply(v, warped, method="ref_scores_from_propagated")
 
+    def prop_step_composed(v, prop_t, acc, cur_rep, anchor_rep):
+        # carry = composed (flow, scale) fields; the propagated tensor is
+        # warped fresh from the KEYFRAME each step (single resample)
+        flow, scale = _flow_from_reps(model, v, cur_rep, anchor_rep)
+        scale = model.apply(v, scale, method="norm_scale")
+        if acc is None:
+            acc_f, acc_s = flow, scale
+        else:
+            acc_f = flow + _warp_field(model, acc[0], flow)
+            acc_s = scale * _warp_field(model, acc[1], flow)
+        warped = model.apply(
+            v, prop_t, acc_f, acc_s, method="warp", normalize_scale=False,
+            max_disp=int(model.warp_max_disp) * (frames_g.shape[1] - 1),
+        )
+        ref_s = model.apply(v, warped, method="ref_scores_from_propagated")
+        return (acc_f, acc_s), ref_s
+
     def frame_output(v, ref_s, cur_frame):
         if model.family == "accel":
             upd = model.apply(v, cur_frame, method="update_scores")
@@ -385,6 +499,7 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
     if remat:
         key_fwd = jax.checkpoint(key_fwd)
         prop_step = jax.checkpoint(prop_step)
+        prop_step_composed = jax.checkpoint(prop_step_composed)
         frame_output = jax.checkpoint(frame_output)
 
     prop, ref_scores = key_fwd(variables, key_frame)
@@ -397,20 +512,24 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
     outs = [frame_output(variables, ref_scores, key_frame)]
     anchor_i = 0
     carry = prop
+    acc = None  # composed-mode field carry
     for i in range(1, k):
         cur = frames_g[:, i]
         if input_scale is not None:
             cur = cur * input_scale
-        warped, ref_s = prop_step(
-            variables, carry,
-            _rep_slice(rep, lambda a: a[:, i]),
-            _rep_slice(rep, lambda a: a[:, anchor_i]),
-        )
-        outs.append(frame_output(variables, ref_s, cur))
-        if propagate == "incremental":
-            carry = warped
+        cur_rep = _rep_slice(rep, lambda a: a[:, i])
+        anchor_rep = _rep_slice(rep, lambda a: a[:, anchor_i])
+        if propagate == "composed":
+            acc, ref_s = prop_step_composed(
+                variables, prop, acc, cur_rep, anchor_rep)
             anchor_i = i
-        # 'direct': carry stays the keyframe tensor, anchor stays the keyframe
+        else:
+            warped, ref_s = prop_step(variables, carry, cur_rep, anchor_rep)
+            if propagate == "incremental":
+                carry = warped
+                anchor_i = i
+            # 'direct': carry/anchor stay the keyframe
+        outs.append(frame_output(variables, ref_s, cur))
     return jnp.stack(outs, axis=1)
 
 

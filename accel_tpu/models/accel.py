@@ -256,20 +256,42 @@ class AccelNet(nn.Module):
             self.downscale_for_flow(cur), self.downscale_for_flow(anchor), train
         )
 
-    def warp(self, prop, flow, scale):
+    def norm_scale(self, scale):
+        """Scale-field gain normalization (network.scale_field_norm; the
+        pair-recipe offset-0 cliff root cause — see BASELINE.md r2 A/B)."""
+        if self.scale_field_norm == "mean1":
+            m = jnp.mean(scale, axis=(1, 2, 3), keepdims=True)
+            scale = scale / (jnp.abs(m) + 1e-6)
+        return scale
+
+    def warp(self, prop, flow, scale, normalize_scale=True, max_disp=None):
         # warp_dtype 'native' keeps the propagated tensor in its storage
         # dtype (bf16) through the gather — on DFF's 1024-ch features the
         # f32 round trips are the dominant non-key HBM traffic. 'f32'
         # (default) is the exactness/training path.
+        # ``normalize_scale=False`` is for callers passing an already-
+        # normalized (e.g. composed, core/pipeline.py) scale field;
+        # ``max_disp`` overrides the kernel displacement bound (composed
+        # flows carry up to (k-1)x the per-step displacement).
         x = prop if self.warp_dtype == "native" else prop.astype(jnp.float32)
+        d = self.warp_max_disp if max_disp is None else max_disp
+        if self.warp_gather == "onehot" and self.use_scale_field:
+            # fused epilogue: the scale modulation multiplies inside the
+            # one-hot matmul kernel before its single output write — the
+            # unmodulated warped tensor never round-trips HBM
+            # (VERDICT r2 #1's named fusion target)
+            from accel_tpu.ops.warp_onehot import warp_onehot
+
+            if normalize_scale:
+                scale = self.norm_scale(scale)
+            return warp_onehot(x, flow, scale.astype(x.dtype), d)
         warped = bilinear_warp(
             x, flow, use_pallas=self.use_pallas_warp,
-            max_disp=self.warp_max_disp, gather=self.warp_gather,
+            max_disp=d, gather=self.warp_gather,
         )
         if self.use_scale_field:
-            if self.scale_field_norm == "mean1":
-                m = jnp.mean(scale, axis=(1, 2, 3), keepdims=True)
-                scale = scale / (jnp.abs(m) + 1e-6)
+            if normalize_scale:
+                scale = self.norm_scale(scale)
             if self.warp_dtype == "native":
                 scale = scale.astype(warped.dtype)
             warped = warped * scale

@@ -177,6 +177,12 @@ def bilinear_warp(
     from accel_tpu.ops.warp_pallas import _effective_platform, vmem_block_bytes
 
     N, H, W, C = feat.shape
+    if gather == "onehot":
+        # one-hot MXU matmul warp (ops/warp_onehot.py) — the wide-channel
+        # serving path (DFF 1024-ch features); bf16 tap weights
+        from accel_tpu.ops.warp_onehot import warp_onehot
+
+        return warp_onehot(feat, flow, None, max_disp)
     fits_vmem = vmem_block_bytes(H, W, C, feat.dtype.itemsize) <= 12 * 2**20
     if use_pallas and _effective_platform() == "tpu" and C <= 64 and fits_vmem:
         return bilinear_warp_pallas(feat, flow, max_disp)

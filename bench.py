@@ -507,7 +507,7 @@ def main():
         dff_model = AccelNet(
             family="dff", ref_depth=101, num_classes=19, feat_stride=16,
             head_channels=1024, dtype=jnp.bfloat16, use_pallas_warp=use_pallas,
-            warp_max_disp=16, flow_input_downscale=4, flow_width_mult=0.5,
+            warp_max_disp=8, flow_input_downscale=4, flow_width_mult=0.5,
             quantize_ref=args.quantize,
         )
         try:

@@ -25,7 +25,8 @@ def parse_args():
     p.add_argument("--interval", type=int, default=None, help="override KEY_FRAME_INTERVAL")
     p.add_argument("--sweep", default=None,
                    help="csv of intervals to evaluate (reference-style interval sweep)")
-    p.add_argument("--propagate", default=None, choices=["direct", "incremental"],
+    p.add_argument("--propagate", default=None,
+                   choices=["direct", "incremental", "composed"],
                    help="override cfg.network.propagate for this eval")
     p.add_argument("--offset-sweep", action="store_true",
                    help="evaluate every annotated-frame offset 0..k-1 after "

@@ -289,3 +289,84 @@ def test_input_scale_matches_premultiplied_clip(tiny_accel):
             np.asarray(out), np.asarray(ref), atol=2e-5,
             err_msg=f"propagate={propagate} remat={remat}",
         )
+
+
+# ---- composed-flow propagation (r3) ----------------------------------------
+
+
+def test_composed_equals_direct_at_k2(tiny_accel):
+    """With one non-key frame there is nothing to compose: composed ==
+    direct == incremental exactly (same single flow/warp)."""
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 128, 128, 3)) * 0.1
+    lg_c = clip_logits(m, variables, clip, interval=2, propagate="composed")
+    lg_d = clip_logits(m, variables, clip, interval=2, propagate="direct")
+    np.testing.assert_allclose(np.asarray(lg_c), np.asarray(lg_d), atol=1e-5)
+
+
+def test_composed_static_clip_consistency(tiny_accel):
+    """Static frames -> zero-init flow -> composition of zero flows is zero
+    flow: every frame of the group matches the keyframe logits."""
+    m, variables = tiny_accel
+    img = jax.random.normal(jax.random.PRNGKey(8), (1, 128, 128, 3)) * 0.1
+    clip = jnp.repeat(img[:, None], 4, axis=1)
+    lg = clip_logits(m, variables, clip, interval=4, propagate="composed")
+    for f in range(1, 4):
+        np.testing.assert_allclose(
+            np.asarray(lg[:, f]), np.asarray(lg[:, 0]), atol=1e-4
+        )
+
+
+def test_compose_fields_translation_math(tiny_accel):
+    """Composing constant integer translations sums them: k steps of
+    (dx=1, dy=0) compose to (i+1, 0) in the interior (boundary cells
+    zero-pad away, matching cascaded-warp semantics)."""
+    from accel_tpu.core.pipeline import _compose_fields
+
+    m, variables = tiny_accel
+    B, k1, h, w = 1, 3, 8, 8
+    flow = jnp.zeros((B, k1, h, w, 2)).at[..., 0].set(1.0)
+    scale = jnp.ones((B, k1, h, w, 19))
+    cflow, cscale = _compose_fields(m, variables, flow, scale)
+    for i in range(k1):
+        # interior columns: composed dx == i+1 (column x samples x+1, which
+        # itself accumulated i more steps); cells whose source ran off the
+        # right edge zero-pad
+        interior = np.asarray(cflow[0, i, :, : w - 1 - i, 0])
+        np.testing.assert_allclose(interior, i + 1, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cflow[..., 1]), 0.0, atol=1e-5)
+
+
+def test_composed_batched_matches_sequential_remat(tiny_accel):
+    """The batched composed group step must bit-match the sequential
+    (remat) form — same contract the other two modes have."""
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(11), (2, 4, 128, 128, 3)) * 0.1
+    lg_b = clip_logits(m, variables, clip, interval=4, propagate="composed")
+    lg_s = clip_logits(m, variables, clip, interval=4, propagate="composed",
+                       remat=True)
+    np.testing.assert_allclose(
+        np.asarray(lg_b), np.asarray(lg_s), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_composed_clip_loss_trains(tiny_accel):
+    """clip objective under composed propagation: finite loss, finite grads
+    through the field-composition cascade."""
+    from accel_tpu.core.pipeline import clip_loss_and_stats
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(0)
+    batch = {
+        "clip": jnp.asarray(rng.standard_normal((1, 4, 128, 128, 3)), jnp.float32) * 0.1,
+        "label": jnp.asarray(rng.integers(0, 19, (1, 4, 128, 128)), jnp.int32),
+    }
+
+    def loss_fn(v):
+        out = clip_loss_and_stats(m, v, batch, 19, propagate="composed")
+        return out[0] if isinstance(out, tuple) else out
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)

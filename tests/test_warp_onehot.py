@@ -1,0 +1,123 @@
+"""One-hot-matmul warp kernel (ops/warp_onehot.py) vs the gather oracle.
+
+Interpret mode exercises the kernel logic on CPU (same pattern as
+test_warp.py for the roll kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accel_tpu.ops.warp import bilinear_warp_xla
+from accel_tpu.ops.warp_onehot import warp_onehot, warp_onehot_fwd
+
+
+def _rand(shape, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+
+
+def _rand_flow(shape, seed, scale=1.5, max_disp=4):
+    """Random flow whose y component stays inside the kernel's clamp —
+    the oracle does not clamp, so exactness tests must not cross it
+    (|flow_y| > max_disp is clamped-by-contract, covered separately)."""
+    f = np.random.default_rng(seed).standard_normal(shape) * scale
+    f[..., 1] = np.clip(f[..., 1], -(max_disp - 0.1), max_disp - 0.1)
+    return jnp.asarray(f, jnp.float32)
+
+
+@pytest.mark.parametrize("shape", [(1, 16, 32, 8), (2, 16, 16, 4)])
+def test_exact_vs_oracle_f32_weights(shape):
+    feat = _rand(shape, 1)
+    flow = _rand_flow(shape[:3] + (2,), 2)
+    out = warp_onehot_fwd(feat, flow, max_disp=4,
+                          weights_dtype=jnp.float32, interpret=True)
+    ref = bilinear_warp_xla(feat, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_zero_flow_identity():
+    feat = _rand((1, 16, 32, 8), 3)
+    flow = jnp.zeros((1, 16, 32, 2))
+    out = warp_onehot_fwd(feat, flow, max_disp=2,
+                          weights_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feat), atol=1e-6)
+
+
+def test_out_of_bounds_zero_pads():
+    """Constant flow pushing samples past the image edge must zero-pad
+    (reference BilinearSampler semantics)."""
+    feat = jnp.ones((1, 16, 32, 4))
+    flow = jnp.zeros((1, 16, 32, 2)).at[..., 1].set(3.0)  # dy=+3
+    out = warp_onehot_fwd(feat, flow, max_disp=4,
+                          weights_dtype=jnp.float32, interpret=True)
+    ref = bilinear_warp_xla(feat, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # last 3 rows sample past the bottom edge -> zero
+    np.testing.assert_allclose(np.asarray(out[0, -3:]), 0.0, atol=1e-6)
+
+
+def test_flow_x_unbounded():
+    """|flow_x| beyond max_disp is NOT clamped (the row window spans full
+    rows) — only flow_y clamps."""
+    feat = _rand((1, 8, 32, 4), 5)
+    flow = jnp.zeros((1, 8, 32, 2)).at[..., 0].set(9.0)  # dx=9 >> D=2
+    out = warp_onehot_fwd(feat, flow, max_disp=2,
+                          weights_dtype=jnp.float32, interpret=True)
+    ref = bilinear_warp_xla(feat, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_bf16_weights_close():
+    feat = _rand((1, 16, 32, 8), 7)
+    flow = _rand_flow((1, 16, 32, 2), 8)
+    out = warp_onehot_fwd(feat, flow, max_disp=4,
+                          weights_dtype=jnp.bfloat16, interpret=True)
+    ref = bilinear_warp_xla(feat, flow)
+    # bf16 tap weights: ~2^-8 relative error on the interpolation weights
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_fused_scale_epilogue():
+    feat = _rand((1, 16, 32, 8), 9)
+    flow = _rand_flow((1, 16, 32, 2), 10, scale=1.0)
+    scale = jnp.abs(_rand((1, 16, 32, 8), 11)) + 0.5
+    out = warp_onehot_fwd(feat, flow, scale=scale, max_disp=4,
+                          weights_dtype=jnp.float32, interpret=True)
+    ref = bilinear_warp_xla(feat, flow) * scale
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_grad_matches_oracle():
+    feat = _rand((1, 8, 16, 4), 12)
+    flow = _rand_flow((1, 8, 16, 2), 13, scale=0.8)
+    scale = jnp.abs(_rand((1, 8, 16, 4), 14)) + 0.5
+
+    def f_kernel(f, fl, s):
+        return jnp.sum(warp_onehot(f, fl, s, 4) ** 2)
+
+    def f_oracle(f, fl, s):
+        return jnp.sum((bilinear_warp_xla(f, fl) * s) ** 2)
+
+    g_k = jax.grad(f_kernel, argnums=(0, 1, 2))(feat, flow, scale)
+    g_o = jax.grad(f_oracle, argnums=(0, 1, 2))(feat, flow, scale)
+    for a, b in zip(g_k, g_o):
+        # fwd uses bf16 weights by default -> residual-driven grads differ
+        # only through the fwd value inside **2; compare loosely
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_bf16_feat_dtype():
+    feat = _rand((1, 16, 32, 8), 15).astype(jnp.bfloat16)
+    flow = _rand_flow((1, 16, 32, 2), 16, scale=1.2)
+    out = warp_onehot_fwd(feat, flow, max_disp=4,
+                          weights_dtype=jnp.float32, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = bilinear_warp_xla(feat, flow)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=2e-2, rtol=2e-2)

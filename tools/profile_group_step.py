@@ -231,6 +231,11 @@ def main():
 
     add("COMPOSITE incremental group (B,k)", composite_incr, clip, B * k)
 
+    def composite_comp(v, c, s=None):
+        return clip_predictions(model, v, c, k, "composed", input_scale=s)
+
+    add("COMPOSITE composed group (B,k)", composite_comp, clip, B * k)
+
     t_sum = sum(t for name, (t, *_rest) in stages.items()
                 if not name.startswith("COMPOSITE"))
     t_comp = stages["COMPOSITE direct group (B,k)"][0]

@@ -106,3 +106,19 @@ log PROFILE accel18 clean
 timeout 2400 python tools/profile_group_step.py --config accel18 \
   || echo "FAILED rc=$?"
 log appended profiles done
+
+# (appended) one-hot MXU warp A/B + composed-propagation measurements
+log WARP variant bench
+timeout 2400 python tools/bench_warp.py || echo "FAILED rc=$?"
+log PROFILE dff onehot fused-scale
+timeout 2400 python tools/profile_group_step.py --config dff \
+  --set warp_dtype=native --set warp_gather=onehot || echo "FAILED rc=$?"
+log COMPOSED eval clip-checkpoint k=5 sweep
+timeout 2400 python experiments/test.py \
+    --cfg experiments/cfgs/extreme_synth_accel18_clip.yaml \
+    --offset-sweep --propagate composed || echo "FAILED rc=$?"
+log COMPOSED eval clip-checkpoint k=10 crossover point
+timeout 1800 python experiments/test.py \
+    --cfg experiments/cfgs/extreme_synth_accel18_clip.yaml \
+    --interval 10 --offsets 1 --propagate composed || echo "FAILED rc=$?"
+log appended r3b done
