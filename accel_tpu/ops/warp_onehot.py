@@ -54,20 +54,35 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_row_block(H: int, W: int, D: int) -> int:
-    """Largest R (power of two, <= 8) keeping the M scratch under ~4 MB."""
+    """Largest R (power of two, <= 8) keeping the M scratch under ~8 MB.
+
+    Bigger R amortizes the window halo (WIN/R read amplification on the
+    DMA-staged source rows), so prefer the largest R the scratch budget
+    allows."""
     for r in (8, 4, 2, 1):
         win = min(r + 2 * D + 2, H)  # window clamps to the whole plane
-        if win * r * W * W * 2 <= 4 * 2**20:
+        if win * r * W * W * 2 <= 8 * 2**20:
             return r
     return 1
 
 
 def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, m_ref, fw_ref,
-            *, D: int, H: int, W: int, R: int, WIN: int, fused_scale: bool):
+            sem, *, D: int, H: int, W: int, R: int, WIN: int, CT: int,
+            fused_scale: bool):
     f32 = jnp.float32
+    n = pl.program_id(0)
     r = pl.program_id(1)
     c = pl.program_id(2)
     start = jnp.clip(r * R - (D + 1), 0, feat_ref.shape[1] - WIN)
+
+    # feat stays in HBM (ANY); DMA exactly the WIN-row window this block
+    # reads. A (1,Hp,Wp,ct) VMEM block spec would be re-fetched on every
+    # grid step (c is innermost): Hp/WIN x more HBM traffic than needed —
+    # 4 GB vs 0.6 GB on the DFF bench shape. The copy overlaps the M build.
+    dma = pltpu.make_async_copy(
+        feat_ref.at[n, pl.ds(start, WIN), :, pl.ds(c * CT, CT)],
+        fw_ref, sem)
+    dma.start()
 
     @pl.when(c == 0)
     def _build_m():
@@ -84,15 +99,18 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, m_ref, fw_ref,
         y0i = y0.astype(jnp.int32)
         x0i = x0.astype(jnp.int32)
 
-        # column one-hot (shared by both y taps): (R, W_out, W_src)
+        # column one-hot (shared by both y taps): (R, W_out, W_src).
+        # Minor-dim inserts ([..., None]) only on 32-bit arrays — Mosaic
+        # rejects non-no-op minor-dim insertion on i1 vectors, so validity
+        # masks fold into the f32 weights BEFORE broadcasting.
         sc = jax.lax.broadcasted_iota(jnp.int32, (R, W, W), 2)
         vx0 = (x0i >= 0) & (x0i < W)
         vx1 = (x0i + 1 >= 0) & (x0i + 1 < W)
+        w0 = ((1.0 - wx) * vx0.astype(f32))[..., None]
+        w1 = (wx * vx1.astype(f32))[..., None]
         colvec = (
-            jnp.where((sc == x0i[..., None]) & vx0[..., None],
-                      (1.0 - wx)[..., None], 0.0)
-            + jnp.where((sc == (x0i + 1)[..., None]) & vx1[..., None],
-                        wx[..., None], 0.0)
+            jnp.where(sc == x0i[..., None], w0, 0.0)
+            + jnp.where(sc == (x0i + 1)[..., None], w1, 0.0)
         )
 
         y0r = y0i - start                        # window-relative row taps
@@ -107,11 +125,8 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, m_ref, fw_ref,
             m_ref[sr] = (rowc[..., None] * colvec).reshape(R * W, W).astype(
                 m_ref.dtype
             )
-        # stage the source-row window once per (n, r); reused across c via
-        # feat_ref (full plane resident) -> fw copy is per-c though, so do
-        # it outside the when() below.
 
-    fw_ref[...] = feat_ref[0, pl.ds(start, WIN)]  # (WIN, W, ct)
+    dma.wait()
 
     # f32 weights demand HIGHEST precision: TPU DEFAULT truncates f32
     # matmul operands to bf16 on the MXU, silently degrading the
@@ -169,7 +184,7 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, wdtype_name: str,
 
     grid = (N, Hp // R, Cp // ct)
     out = pl.pallas_call(
-        functools.partial(_kernel, D=D, H=H, W=Wp, R=R, WIN=WIN,
+        functools.partial(_kernel, D=D, H=H, W=Wp, R=R, WIN=WIN, CT=ct,
                           fused_scale=fused),
         out_shape=jax.ShapeDtypeStruct((N, Hp, Wp, Cp), feat.dtype),
         grid=grid,
@@ -178,8 +193,7 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, wdtype_name: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, R, Wp), lambda n, r, c: (n, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hp, Wp, ct), lambda n, r, c: (n, 0, 0, c),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feat: HBM, windowed DMA
             scale_spec,
         ],
         out_specs=pl.BlockSpec((1, R, Wp, ct), lambda n, r, c: (n, r, 0, c),
@@ -187,6 +201,7 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, wdtype_name: str,
         scratch_shapes=[
             pltpu.VMEM((WIN, R * Wp, Wp), wdtype),
             pltpu.VMEM((WIN, Wp, ct), feat.dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(fx_p, fy_p, feat_p, scale_p)
