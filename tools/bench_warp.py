@@ -72,6 +72,20 @@ def main():
                                 weights_dtype=jnp.float32)
                 * v[1].astype(jnp.bfloat16),
         }
+        # rank-1 restructure sweep: FLOPs scale with 2D+2 (not R); R only
+        # moves the DMA halo. D=8 is the in-program warp_max_disp default.
+        for r in (4, 8):
+            for d in (4, 8):
+                variants[f"onehot-R{r}D{d}"] = (
+                    lambda v, b, s=None, r=r, d=d:
+                    warp_onehot_fwd(b if s is None else b * s, v[0],
+                                    max_disp=d, row_block=r)
+                    * v[1].astype(jnp.bfloat16))
+                variants[f"onehot+scale-R{r}D{d}"] = (
+                    lambda v, b, s=None, r=r, d=d:
+                    warp_onehot_fwd(b if s is None else b * s, v[0],
+                                    scale=v[1].astype(jnp.bfloat16),
+                                    max_disp=d, row_block=r))
         nbytes = (2 * N * H * W * C * 2 + N * H * W * (2 + C) * 4)
         print(f"== {tag} ({N},{H},{W},{C}) bf16; HBM roofline "
               f"{nbytes / 819e9 * 1e3:.3f} ms ==", flush=True)
