@@ -19,16 +19,26 @@ only the 2D+2 values in [-D, D+1], and
 
     out[i, j, :] = sum_d ry_d[i, j] * (cx[i, j, :] @ feat[i + d, :, :]).
 
-Per output row the x mix ``cx[i] @ feat_row`` is a dense (W, W) @ (W, ct)
-MXU matmul whose one-hot LHS (``colvec``, 2 nonzeros per row — flow_x is
-UNBOUNDED, the matmul spans full rows) is built ONCE per (frame,
-row-block) on the VPU and reused across all 2D+2 row offsets AND all
-channel tiles; the y mix is a cheap f32 VPU epilogue (so y-tap weights are
-exact even in the bf16-weights mode — only x weights round). Matmul work
-is (2D+2) * 2*W*W*C FLOPs per output row — ~39 GFLOP/frame on the DFF
-bench shape at D=8 (~24 at D=4), vs the ~57 GFLOP and a WIN x (R*W, W)
-dense M-scratch build of the round-3 first formulation, and vs the gather
-unit's measured ~18 ms for the same 16-frame call.
+Per output row i the full bilinear mix is ONE deep matmul,
+
+    out[i] = lhs[i] @ feat[i-D : i+D+2]          # (W, KD) @ (KD, ct)
+
+with KD = (2D+2)*W and lhs[i][j, d*W + x] = ry_d[i, j] * cx[x](i, j) —
+the rank-1 weight products written into a banded LHS whose RHS is just a
+contiguous slice of the staged source window (no gather, no scatter).
+The LHS (2 nonzeros per W-column-group; flow_x is UNBOUNDED, each matmul
+spans full rows) is built ONCE per (frame, row-block) on the VPU and
+reused across all channel tiles. Matmul work is (2D+2) * 2*W*W*C FLOPs
+per output row — ~24 GFLOP/frame on the DFF bench shape at D=4.
+
+Two measured lessons from the earlier formulations shape this one
+(BASELINE.md r3 one-hot history): (a) FLOPs must scale with 2D+2, not
+the R+2D+2 window (the dense-M first formulation lost to the gather);
+(b) output-tile shape decides the MXU rate — the (2D+2)-separate-dots
+variant ran at 25 TF/s because every dot had a single (128,128) output
+tile, engaging one MXU; the deep-K single dot with a WIDE channel tile
+(ct up to 512 -> 4 lane tiles) gives the TensorCore parallel output
+tiles and K=KD pipelining.
 
 The DFF scale-field modulation (an extra (N,H,W,C)-sized HBM round trip as
 a separate op — VERDICT r2 #1's named fusion target) folds into the
@@ -41,13 +51,14 @@ and reads 0 — exactly the reference BilinearSampler's zero-pad semantics
 (ops/warp.py module docstring) with no validity masks and no window
 clamps (the round-3 first formulation's small-plane assert is gone).
 
-Numerics: x-tap weights are stored in ``weights_dtype`` (default bf16 —
-the MXU-rate serving path; relative weight error ~2^-8; y weights stay
-f32). ``weights_dtype=f32`` is exact vs the gather oracle (bit-level up
-to f32 accumulation order) at reduced MXU rate; it demands
-Precision.HIGHEST because TPU DEFAULT truncates f32 matmul operands to
-bf16 on the MXU (measured round 3: identical f32/bf16 outputs before the
-precision fix).
+Numerics: the combined tap weight ry*cx is computed in f32 and rounded
+ONCE to ``weights_dtype`` when written into the LHS (default bf16 — the
+MXU-rate serving path; relative weight error ~2^-8, single rounding of
+the product rather than per-factor). ``weights_dtype=f32`` is exact vs
+the gather oracle (bit-level up to f32 accumulation order) at reduced
+MXU rate; it demands Precision.HIGHEST because TPU DEFAULT truncates f32
+matmul operands to bf16 on the MXU (measured round 3: identical f32/bf16
+outputs before the precision fix).
 
 Layout: channels-LAST (C in lanes) — the opposite of the roll kernel's
 choice, because here C is the matmul's N dimension; wide C is exactly
@@ -69,35 +80,53 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_ct(C: int, D: int, Wp: int, fbytes: int, wbytes: int) -> int:
+    """Widest channel tile (<= 512, multiple of 128) under the VMEM budget.
+
+    ct is the matmul N dimension: at ct=128 every dot has ONE (128,128)
+    output tile and engages one MXU (measured 25 TF/s); wider ct gives
+    the TensorCore parallel output tiles. Budget: lhs + colvec scratch
+    (ct-independent) + source window + double-buffered out/scale blocks."""
+    base = 8 * Wp * ((2 * D + 2) * Wp * wbytes + Wp * 4)
+    for ct in (512, 256, 128):
+        win = 8 + 2 * D + 1
+        scr = base + win * Wp * ct * fbytes
+        bufs = 4 * 8 * Wp * ct * fbytes          # 2x (out + scale) blocks
+        if scr + bufs <= 12 * 2**20 and ct <= _round_up(C, 128):
+            return ct
+    return 128
+
+
 def _pick_row_block(Wp: int, D: int, ct: int, fbytes: int,
                     wbytes: int) -> int:
     """Largest R (power of two, <= 8) keeping VMEM scratch under ~10 MB.
 
     R does not change matmul FLOPs (those scale with 2D+2); bigger R
     amortizes the DMA halo ((R + 2D + 1)/R read amplification on the
-    staged source window) and the per-row-block colvec build."""
+    staged source window) and the per-row-block LHS build."""
     for r in (8, 4, 2, 1):
         win = r + 2 * D + 1
-        scr = (r * Wp * Wp * wbytes          # colvec
-               + win * Wp * ct * fbytes      # source window
-               + (2 * D + 2) * r * Wp * 4)   # ry
+        scr = (r * Wp * (2 * D + 2) * Wp * wbytes  # banded LHS
+               + r * Wp * Wp * 4                   # colvec (f32)
+               + win * Wp * ct * fbytes)           # source window
         if scr <= 10 * 2**20:
             return r
     return 1
 
 
-def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, colvec_ref,
-            ry_ref, fw_ref, sem, *, D: int, W: int, R: int, WIN: int,
+def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, lhs_ref,
+            colvec_ref, fw_ref, sem, *, D: int, W: int, R: int, WIN: int,
             CT: int, fused_scale: bool):
     f32 = jnp.float32
     n = pl.program_id(0)
     r = pl.program_id(1)
     c = pl.program_id(2)
+    KD = (2 * D + 2) * W
 
     # feat stays in HBM (ANY); DMA exactly the WIN-row halo window this
     # block reads (start = r*R in halo-padded coords — no clamp needed).
     # A blockspec-fetched (1,Hp,Wp,ct) would re-fetch the whole plane per
-    # channel tile. The copy overlaps the colvec/ry build at c == 0.
+    # channel tile. The copy overlaps the LHS build at c == 0.
     dma = pltpu.make_async_copy(
         feat_ref.at[n, pl.ds(r * R, WIN), :, pl.ds(c * CT, CT)],
         fw_ref, sem)
@@ -121,59 +150,56 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, colvec_ref,
         colvec_ref[...] = (
             jnp.where(sc == x0i[..., None], (1.0 - wx)[..., None], 0.0)
             + jnp.where(sc == (x0i + 1)[..., None], wx[..., None], 0.0)
-        ).astype(colvec_ref.dtype)
+        )
 
         # --- y weights per integer row offset d = y_tap - i in
         # [-D, D+1]: ry[d+D] = (1-wy)[y0-i == d] + wy[y0+1-i == d].
-        # Kept f32 (VPU epilogue — exact y taps in every weights mode).
+        # The rank-1 product ry*cx is formed in f32 and rounded ONCE into
+        # the banded LHS at column group d (lane offset di*W).
         fy = jnp.clip(fy_ref[0, 0].astype(f32), -D, D)
         yy = (r * R + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0))
         sy = yy.astype(f32) + fy
         y0 = jnp.floor(sy)
         wy = sy - y0
         dy = y0.astype(jnp.int32) - yy                       # in [-D, D]
+        cv = colvec_ref[...]                                 # (R, W, W) f32
         for di in range(2 * D + 2):
             d = di - D
-            ry_ref[di] = (
+            ryd = (
                 jnp.where(dy == d, 1.0 - wy, 0.0)
                 + jnp.where(dy + 1 == d, wy, 0.0)
             )
+            lhs_ref[:, :, di * W:(di + 1) * W] = (
+                ryd[..., None] * cv).astype(lhs_ref.dtype)
 
     dma.wait()
 
     # f32 weights demand HIGHEST precision: TPU DEFAULT truncates f32
     # matmul operands to bf16 on the MXU, silently degrading the
-    # "oracle-exact" path to bf16 x-taps. bf16 weights take the native
+    # "oracle-exact" path to bf16 taps. bf16 weights take the native
     # MXU pass.
-    wdtype = colvec_ref.dtype
+    wdtype = lhs_ref.dtype
     prec = (jax.lax.Precision.HIGHEST if wdtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    rows = [fw_ref[s].astype(wdtype) for s in range(WIN)]
-    accs = [jnp.zeros((W, CT), f32) for _ in range(R)]
-    for di in range(2 * D + 2):
-        ryd = ry_ref[di][..., None]                          # (R, W, 1)
-        for il in range(R):
-            # window row il + di is halo-padded row r*R + il + di,
-            # i.e. source row (r*R + il) + (di - D) = i + d.
-            part = jax.lax.dot(colvec_ref[il], rows[il + di],
-                               preferred_element_type=f32, precision=prec)
-            accs[il] = accs[il] + ryd[il] * part
     for il in range(R):
-        o = accs[il]
+        # output row i = r*R + il mixes halo-padded window rows
+        # [il, il + 2D+2) — a contiguous (KD, ct) slice of the window.
+        rhs = fw_ref[pl.ds(il, 2 * D + 2)].reshape(KD, CT).astype(wdtype)
+        o = jax.lax.dot(lhs_ref[il], rhs,
+                        preferred_element_type=f32, precision=prec)
         if fused_scale:
             o = o * scale_ref[0, il].astype(f32)
         out_ref[0, il] = o.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _warp_onehot(feat, fx, fy, scale, D: int, R: int, wdtype_name: str,
-                 interpret: bool):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
+                 wdtype_name: str, interpret: bool):
     N, H, W, C = feat.shape
     wdtype = jnp.dtype(wdtype_name)
     Wp = _round_up(W, 128)
     HB = -(-H // R)
     Hp = HB * R
-    ct = min(128, _round_up(C, 128))
     Cp = _round_up(C, ct)
     # Halo zero-padding: D rows on top, (Hp - H) + D + 1 below, so block
     # r's window starts at padded row r*R unconditionally and every
@@ -220,8 +246,8 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, wdtype_name: str,
         out_specs=pl.BlockSpec((1, R, Wp, ct), lambda n, r, c: (n, r, 0, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R, Wp, Wp), wdtype),           # colvec (x weights)
-            pltpu.VMEM((2 * D + 2, R, Wp), jnp.float32),  # ry (y weights)
+            pltpu.VMEM((R, Wp, (2 * D + 2) * Wp), wdtype),  # banded LHS
+            pltpu.VMEM((R, Wp, Wp), jnp.float32),      # colvec (x weights)
             pltpu.VMEM((WIN, Wp, ct), feat.dtype),     # source window
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -236,15 +262,16 @@ def warp_onehot_fwd(
     scale: jnp.ndarray | None = None,
     max_disp: int = 4,
     row_block: int | None = None,
+    channel_tile: int | None = None,
     weights_dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """feat (N,H,W,C), flow (N,H,W,2) [+ scale (N,H,W,C)] -> warped [*scale].
 
     Exact bilinear for |flow_y| <= max_disp (flow_y clamps to the bound;
-    flow_x is unbounded), up to ``weights_dtype`` rounding of the x-tap
-    weights (bf16 default; pass jnp.float32 for oracle-exact weights —
-    y-tap weights are f32 in every mode).
+    flow_x is unbounded), up to one ``weights_dtype`` rounding of the
+    combined ry*cx tap weights (bf16 default; pass jnp.float32 for
+    oracle-exact weights).
     """
     from accel_tpu.ops.warp_pallas import _effective_platform
 
@@ -253,13 +280,15 @@ def warp_onehot_fwd(
     N, H, W, C = feat.shape
     D = int(max_disp)
     wdtype = jnp.dtype(weights_dtype)
-    ct = min(128, _round_up(C, 128))
+    Wp = _round_up(W, 128)
+    ct = channel_tile or _pick_ct(C, D, Wp, feat.dtype.itemsize,
+                                  wdtype.itemsize)
     R = row_block or _pick_row_block(
-        _round_up(W, 128), D, ct, feat.dtype.itemsize, wdtype.itemsize)
+        Wp, D, ct, feat.dtype.itemsize, wdtype.itemsize)
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)
-    return _warp_onehot(feat, fx, fy, scale, D, int(R), wdtype.name,
-                        bool(interpret))
+    return _warp_onehot(feat, fx, fy, scale, D, int(R), int(ct),
+                        wdtype.name, bool(interpret))
 
 
 def _oracle(feat, flow, scale):

@@ -502,12 +502,20 @@ def main():
         except Exception:
             pass
 
-    # DFF family (keyframe fc6 features warped forward, no update branch)
+    # DFF family (keyframe fc6 features warped forward, no update branch).
+    # Serving lowering = the measured-best r3 recipe (mIoU-neutral, 84.54
+    # vs battery 84.53 on the extreme checkpoint): bf16 through the warp
+    # (warp_dtype=native), rank-1 one-hot MXU warp with the scale
+    # modulation fused into its epilogue (warp_gather=onehot), and D=4 —
+    # the learned flow ceiling is 2.33 feature px (probe_flow_magnitude)
+    # and the onehot kernel's FLOPs scale with 2D+2 (D=8 ties the gather,
+    # D=4 beats it: 13.5 vs 17.9 ms/call; composite 323 vs 308 fps).
     if args.with_dff and extras_ok():
         dff_model = AccelNet(
             family="dff", ref_depth=101, num_classes=19, feat_stride=16,
             head_channels=1024, dtype=jnp.bfloat16, use_pallas_warp=use_pallas,
-            warp_max_disp=8, flow_input_downscale=4, flow_width_mult=0.5,
+            warp_max_disp=4, warp_dtype="native", warp_gather="onehot",
+            flow_input_downscale=4, flow_width_mult=0.5,
             quantize_ref=args.quantize,
         )
         try:
