@@ -69,8 +69,12 @@ def make_defaults() -> Config:
                 # Set 'none' for reference-weight parity (raw DFF field).
                 "scale_field_norm": "mean1",
                 # int8 serving quantization (backbone+fc6; stem and score
-                # head stay float) — v5e int8 MXU runs at 2x bf16. Serving
-                # knobs; checkpoints are dtype-unchanged either way.
+                # head stay float). MEASURED NEGATIVE on this toolchain
+                # (BASELINE.md): XLA lowers int8 conv to a non-MXU fallback
+                # — 3.7-7.9x SLOWER than bf16 despite the v5e MXU's nominal
+                # 2x int8 rate. Accuracy-neutral; kept as the canonical
+                # formulation for toolchains whose int8 conv hits the MXU.
+                # Checkpoints are dtype-unchanged either way.
                 "quantize_ref": False,
                 "quantize_update": False,
                 # norm layer: 'frozenbn' (reference behavior, for pretrained
@@ -184,6 +188,12 @@ def make_defaults() -> Config:
                 # prediction upsampling: 'bilinear_logits' (reference
                 # protocol) | 'nearest_pred' (cheaper serving mode)
                 "upsample": "bilinear_logits",
+                # eval-surface network overrides (dict of network.* fields)
+                # applied by experiments/test.py ONLY — ship measured-best
+                # SERVING lowerings (e.g. DFF's native+onehot+D4 warp) in
+                # the cfg without touching the training defaults. CLI
+                # --set-network still wins over these.
+                "serving_network": None,
             },
             # TPU-native extensions (no reference counterpart)
             "tpu": {

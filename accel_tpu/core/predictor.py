@@ -303,6 +303,11 @@ def pred_eval_clips(
             preds_host = np.asarray(preds)
             for b, nat in enumerate(natives):
                 if nat is None:
+                    # this clip's annotation already matched frame
+                    # resolution — score it from the device-label path so
+                    # mixed-size batches count every clip
+                    if item.get("label") is not None:
+                        acc.update(preds[b : b + 1], item["label"][b : b + 1])
                     continue
                 ann, scaled_hw = nat
                 p = preds_host[b, ann_pos, : scaled_hw[0], : scaled_hw[1]]

@@ -240,7 +240,7 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, R, Wp), lambda n, r, c: (n, r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feat: HBM, windowed DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # feat: HBM, windowed DMA
             scale_spec,
         ],
         out_specs=pl.BlockSpec((1, R, Wp, ct), lambda n, r, c: (n, r, 0, c),
@@ -291,9 +291,15 @@ def warp_onehot_fwd(
                         wdtype.name, bool(interpret))
 
 
-def _oracle(feat, flow, scale):
+def _oracle(feat, flow, scale, max_disp):
     from accel_tpu.ops.warp import bilinear_warp_xla
 
+    # Clamp flow_y exactly as the kernel forward does so the custom VJP
+    # differentiates the function the forward actually computes (gradients
+    # would otherwise mismatch wherever |flow_y| > max_disp).
+    flow = jnp.stack(
+        [flow[..., 0], jnp.clip(flow[..., 1], -max_disp, max_disp)], axis=-1
+    )
     out = bilinear_warp_xla(feat, flow)
     return out if scale is None else out * scale
 
@@ -316,9 +322,9 @@ def _fwd_rule(feat, flow, scale, max_disp):
 def _bwd_rule(max_disp, res, g):
     feat, flow, scale = res
     if scale is None:
-        _, vjp = jax.vjp(lambda f, fl: _oracle(f, fl, None), feat, flow)
+        _, vjp = jax.vjp(lambda f, fl: _oracle(f, fl, None, max_disp), feat, flow)
         return (*vjp(g), None)
-    _, vjp = jax.vjp(_oracle, feat, flow, scale)
+    _, vjp = jax.vjp(lambda f, fl, s: _oracle(f, fl, s, max_disp), feat, flow, scale)
     return vjp(g)
 
 

@@ -225,9 +225,12 @@ def _mesh_correctness(spec: str):
     single-device on the same fixtures; prints one JSON line. Runs on
     virtual CPU devices when the host lacks chips (same bootstrap as
     __graft_entry__.dryrun_multichip)."""
-    axes = dict(kv.split("=") for kv in spec.split(","))
-    data = int(axes.get("data", 1))
-    spatial = int(axes.get("spatial", 1))
+    try:
+        axes = dict(kv.split("=") for kv in spec.split(","))
+        data = int(axes.get("data", 1))
+        spatial = int(axes.get("spatial", 1))
+    except (ValueError, TypeError):
+        sys.exit(f"bad --mesh spec {spec!r}: expected data=N[,spatial=M]")
     n_need = data * spatial
 
     import os
@@ -312,7 +315,10 @@ def main():
     # --mesh must bootstrap virtual devices BEFORE any backend touch
     # (setup_compile_cache below initializes the backend), so peek at argv
     if "--mesh" in sys.argv:
-        _mesh_correctness(sys.argv[sys.argv.index("--mesh") + 1])
+        i = sys.argv.index("--mesh")
+        if i + 1 >= len(sys.argv):
+            sys.exit("--mesh requires a value: data=N[,spatial=M]")
+        _mesh_correctness(sys.argv[i + 1])
         return
     # persistent compile cache (host-keyed so cross-host AOT reuse doesn't
     # spew machine-feature/SIGILL warnings into the bench artifact)

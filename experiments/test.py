@@ -86,6 +86,12 @@ def main():
         cfg.network.quantize_update = True
     if args.warp_max_disp is not None:
         cfg.network.warp_max_disp = args.warp_max_disp
+    # TEST.serving_network: measured-best serving lowerings shipped in the
+    # cfg (e.g. DFF's native+onehot+D4 warp — 322.9 vs 308 fps,
+    # mIoU-neutral); eval-surface only, so f32/taps stays the training
+    # default. Applied before --set-network so explicit CLI flags win.
+    for key, val in (cfg.TEST.get("serving_network") or {}).items():
+        cfg.network[key] = val
     for kv in args.set_network:
         key, val = kv.split("=", 1)
         if val.lower() in ("true", "false"):
@@ -94,7 +100,10 @@ def main():
             try:
                 cfg.network[key] = int(val)
             except ValueError:
-                cfg.network[key] = val
+                try:
+                    cfg.network[key] = float(val)
+                except ValueError:
+                    cfg.network[key] = val
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0]
     logger, out_dir = create_logger(cfg.output_path, cfg_name, cfg.dataset.test_image_set)
 
