@@ -73,6 +73,10 @@ def shard_batch(mesh: Mesh, batch: dict, spatial: bool = False) -> dict:
     for k, v in batch.items():
         ax = None
         if spatial and hasattr(v, "ndim") and v.ndim >= 3:
-            ax = v.ndim - 3 if v.ndim >= 4 else 1  # H axis of (...,H,W,C)/(N,H,W)
+            # H axis: float tensors carry a trailing channel dim
+            # ((N,H,W,C) / (B,F,H,W,C) -> ndim-3); integer label maps don't
+            # ((N,H,W) / (B,F,H,W) -> ndim-2)
+            floating = np.issubdtype(np.dtype(v.dtype), np.floating)
+            ax = v.ndim - 3 if floating else v.ndim - 2
         out[k] = jax.device_put(v, batch_sharding(mesh, ax))
     return out

@@ -44,6 +44,78 @@ def test_data_parallel_train_step(tiny_accel):
     assert int(state.step) == 1
 
 
+def _clip_batch(rng, B=4, F=3, H=128, W=128):
+    label = np.full((B, F, H, W), 255, np.int32)
+    label[:, -1] = rng.integers(0, 19, (B, H, W))
+    return {
+        "clip": jnp.asarray(rng.standard_normal((B, F, H, W, 3)), jnp.float32) * 0.1,
+        "label": jnp.asarray(label),
+    }
+
+
+def test_clip_objective_train_step_on_mesh(tiny_accel):
+    """The SHIPPED default training recipe (clip objective + incremental
+    cascade + remat, config/defaults.py) under dp and dp x sp sharding:
+    loss and grads must match the single-device run (VERDICT r3 #5 — the
+    multi-chip green light previously certified only the pair fallback).
+    The clip backward (scan + per-frame jax.checkpoint + cascaded warps) is
+    exactly the program that can diverge under SPMD partitioning."""
+    from accel_tpu.core.pipeline import clip_loss_and_stats
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(7)
+    batch = _clip_batch(rng)
+
+    def loss_fn(params, b):
+        v = dict(variables)
+        v["params"] = params
+        loss, _ = clip_loss_and_stats(
+            m, v, b, 19, propagate="incremental", remat=True, aux_weight=0.5
+        )
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+    l1, g1 = jax.jit(grad_fn)(variables["params"], batch)
+    l1 = float(l1)
+    g1 = jax.tree.map(np.asarray, g1)
+
+    for data, spatial in ((4, 1), (4, 2)):
+        mesh = make_mesh(data=data, spatial=spatial)
+        sharded = shard_batch(mesh, batch, spatial=spatial > 1)
+        p_rep = jax.device_put(variables["params"], replicated(mesh))
+        lm, gm = jax.jit(grad_fn, out_shardings=replicated(mesh))(p_rep, sharded)
+        np.testing.assert_allclose(float(lm), l1, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), b, rtol=1e-4, atol=1e-5
+            ),
+            gm, g1,
+        )
+
+
+def test_clip_objective_full_train_step_runs_on_mesh(tiny_accel):
+    """make_train_step with the shipped objective/propagate/remat knobs
+    executes on the 8-device mesh (optimizer update + donation included)."""
+    from accel_tpu.config import default_config
+    from accel_tpu.core.trainer import init_train_state, make_optimizer, make_train_step
+
+    m, variables = tiny_accel
+    variables = jax.tree.map(jnp.array, variables)  # donation (see above)
+    mesh = make_mesh(data=4, spatial=2)
+    cfg = default_config()
+    tx, _ = make_optimizer(cfg, epoch_size=100)
+    state = init_train_state(m, variables, tx)
+    step = make_train_step(
+        m, tx, num_classes=19, mesh=mesh, objective="clip",
+        propagate="incremental", remat=True,
+    )
+    batch = shard_batch(mesh, _clip_batch(np.random.default_rng(8)), spatial=True)
+    state = jax.device_put(state, replicated(mesh))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
 def test_dp_matches_single_device(tiny_accel):
     """Gradient allreduce over the mesh gives the same loss as one device."""
     from accel_tpu.core.pipeline import pair_loss
