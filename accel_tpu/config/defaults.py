@@ -62,6 +62,15 @@ def make_defaults() -> Config:
                 "propagate": "incremental",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
+                # cascade-scale semantics for incremental/composed
+                # propagation: 'product' (reference — every step's scale
+                # field multiplies into the carried tensor) | 'mean1'
+                # (cumulative product renormalized to global mean 1 per
+                # step) | 'clamp' (product clipped to [1/2, 2] per pixel)
+                # | 'last' (only the current step's field modulates; no
+                # accumulation). r4 attack on the measured compounding-
+                # product accuracy loss (BASELINE.md extreme finding 7).
+                "scale_cascade": "product",
                 # 'mean1' pins the scale field's degenerate global gain
                 # (from-scratch default; measured: unpinned gain drifts to
                 # ~3.2 and miscalibrates the un-warped keyframe/eq path

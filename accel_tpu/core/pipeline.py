@@ -302,6 +302,24 @@ def _warp_field(model, field, flow):
     )
 
 
+# Per-pixel bound for scale_cascade='clamp': the cumulative scale product
+# is clipped to [1/_CASCADE_CLAMP, _CASCADE_CLAMP] after every step.
+_CASCADE_CLAMP = 2.0
+
+
+def _cascade_post(acc_s, mode):
+    """Apply the scale_cascade intervention to a cumulative scale product
+    (BASELINE.md extreme finding 7: the incremental-vs-direct far-offset
+    gap is the compounding product, not resample blur — these are the
+    attacks on that mechanism)."""
+    if mode == "mean1":
+        m = jnp.mean(acc_s, axis=(1, 2, 3), keepdims=True)
+        return acc_s / (jnp.abs(m) + 1e-6)
+    if mode == "clamp":
+        return jnp.clip(acc_s, 1.0 / _CASCADE_CLAMP, _CASCADE_CLAMP)
+    return acc_s  # 'product' (and 'last' never accumulates)
+
+
 def _compose_fields(model, variables, flow, scale):
     """Cascade per-step flow/scale fields into per-frame composed fields.
 
@@ -315,16 +333,27 @@ def _compose_fields(model, variables, flow, scale):
     the cheap fields instead. Out-of-frame samples zero-pad (the warp's
     own OOB semantics), so composed scale -> 0 exactly where incremental
     propagation would have zeroed content.
+
+    ``model.scale_cascade`` selects the cascade-scale semantics: 'product'
+    (above), 'mean1'/'clamp' (the accumulator is renormalized/clamped
+    after every step), or 'last' (no accumulation — entry i carries only
+    step i's normalized field; the scale field-warps disappear).
     """
+    mode = model.scale_cascade
     k1 = flow.shape[1]
     acc_f = flow[:, 0]
-    acc_s = model.apply(variables, scale[:, 0], method="norm_scale")
+    acc_s = _cascade_post(
+        model.apply(variables, scale[:, 0], method="norm_scale"), mode
+    )
     comp_f, comp_s = [acc_f], [acc_s]
     for i in range(1, k1):
         stepf = flow[:, i]
         steps_ = model.apply(variables, scale[:, i], method="norm_scale")
         acc_f = stepf + _warp_field(model, acc_f, stepf)
-        acc_s = steps_ * _warp_field(model, acc_s, stepf)
+        if mode == "last":
+            acc_s = steps_
+        else:
+            acc_s = _cascade_post(steps_ * _warp_field(model, acc_s, stepf), mode)
         comp_f.append(acc_f)
         comp_s.append(acc_s)
     return jnp.stack(comp_f, 1), jnp.stack(comp_s, 1)
@@ -413,12 +442,36 @@ def _group_step_incremental_batched(model, variables, frames_g, input_scale=None
         flow, scale = _flow_from_reps(model, variables, cur_rep, prev_rep)
         flow = flow.reshape(B, k - 1, *flow.shape[1:])
         scale = scale.reshape(B, k - 1, *scale.shape[1:])
-        carry, warped_steps = prop, []
-        for i in range(k - 1):
-            carry = model.apply(
-                variables, carry, flow[:, i], scale[:, i], method="warp"
-            )
-            warped_steps.append(carry)
+        mode = model.scale_cascade
+        if mode == "product" or not model.use_scale_field:
+            carry, warped_steps = prop, []
+            for i in range(k - 1):
+                carry = model.apply(
+                    variables, carry, flow[:, i], scale[:, i], method="warp"
+                )
+                warped_steps.append(carry)
+        else:
+            # scale_cascade intervention (r4): carry the UNMODULATED tensor
+            # plus (for mean1/clamp) the explicit cumulative scale product,
+            # and modulate only the per-frame SCORED copy. Field-warping
+            # the product separately from the tensor is the composed-mode
+            # decomposition, measured accuracy-identical to the baked
+            # product (BASELINE.md extreme finding 7).
+            carry, prod, warped_steps = prop, None, []
+            for i in range(k - 1):
+                s = model.apply(variables, scale[:, i], method="norm_scale")
+                carry = model.apply(
+                    variables, carry, flow[:, i], s, method="warp",
+                    normalize_scale=False, modulate=False,
+                )
+                if mode == "last":
+                    eff = s
+                else:
+                    prod = s if prod is None else s * _warp_field(
+                        model, prod, flow[:, i])
+                    prod = _cascade_post(prod, mode)
+                    eff = prod
+                warped_steps.append(carry * eff.astype(carry.dtype))
         warped = jnp.stack(warped_steps, 1).reshape(
             B * (k - 1), *warped_steps[0].shape[1:]
         )
@@ -468,10 +521,29 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
         prop = model.apply(v, frame, method="ref_propagated")
         return prop, model.apply(v, prop, method="ref_scores_from_propagated")
 
+    cascade = model.scale_cascade if model.use_scale_field else "product"
+
     def prop_step(v, carry, cur_rep, anchor_rep):
+        # carry = (unmodulated tensor, cumulative scale product or None);
+        # under scale_cascade='product' the product stays baked into the
+        # tensor (reference semantics) and the second slot is unused
         flow, scale = _flow_from_reps(model, v, cur_rep, anchor_rep)
-        warped = model.apply(v, carry, flow, scale, method="warp")
-        return warped, model.apply(v, warped, method="ref_scores_from_propagated")
+        if cascade == "product":
+            warped = model.apply(v, carry[0], flow, scale, method="warp")
+            scored, carry = warped, (warped, None)
+        else:
+            s = model.apply(v, scale, method="norm_scale")
+            warped = model.apply(v, carry[0], flow, s, method="warp",
+                                 normalize_scale=False, modulate=False)
+            if cascade == "last":
+                eff, prod = s, None
+            else:
+                prod = s if carry[1] is None else s * _warp_field(
+                    model, carry[1], flow)
+                prod = _cascade_post(prod, cascade)
+                eff = prod
+            scored, carry = warped * eff.astype(warped.dtype), (warped, prod)
+        return carry, model.apply(v, scored, method="ref_scores_from_propagated")
 
     def prop_step_composed(v, prop_t, acc, cur_rep, anchor_rep):
         # carry = composed (flow, scale) fields; the propagated tensor is
@@ -479,10 +551,14 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
         flow, scale = _flow_from_reps(model, v, cur_rep, anchor_rep)
         scale = model.apply(v, scale, method="norm_scale")
         if acc is None:
-            acc_f, acc_s = flow, scale
+            acc_f, acc_s = flow, _cascade_post(scale, cascade)
         else:
             acc_f = flow + _warp_field(model, acc[0], flow)
-            acc_s = scale * _warp_field(model, acc[1], flow)
+            if cascade == "last":
+                acc_s = scale
+            else:
+                acc_s = _cascade_post(
+                    scale * _warp_field(model, acc[1], flow), cascade)
         warped = model.apply(
             v, prop_t, acc_f, acc_s, method="warp", normalize_scale=False,
             max_disp=int(model.warp_max_disp) * (frames_g.shape[1] - 1),
@@ -511,7 +587,7 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
 
     outs = [frame_output(variables, ref_scores, key_frame)]
     anchor_i = 0
-    carry = prop
+    carry = (prop, None)  # (tensor, cumulative scale product — see prop_step)
     acc = None  # composed-mode field carry
     for i in range(1, k):
         cur = frames_g[:, i]
@@ -524,9 +600,9 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
                 variables, prop, acc, cur_rep, anchor_rep)
             anchor_i = i
         else:
-            warped, ref_s = prop_step(variables, carry, cur_rep, anchor_rep)
+            new_carry, ref_s = prop_step(variables, carry, cur_rep, anchor_rep)
             if propagate == "incremental":
-                carry = warped
+                carry = new_carry
                 anchor_i = i
             # 'direct': carry/anchor stay the keyframe
         outs.append(frame_output(variables, ref_s, cur))

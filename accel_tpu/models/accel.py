@@ -99,6 +99,22 @@ class AccelNet(nn.Module):
     # cliff (42.9 vs 80.0 warped); 'mean1' keeps DFF's per-pixel relative
     # modulation while pinning the gain.
     scale_field_norm: str = "none"
+    # CASCADE scale semantics (incremental/composed propagation only; r4 —
+    # the r3 composed-mode probe isolated the incremental-vs-direct far-
+    # offset gap to the COMPOUNDED per-step scale product, not resample
+    # blur; BASELINE.md extreme finding 7):
+    #   'product' — reference semantics: the propagated tensor carries the
+    #               running product of every step's (normalized) scale field
+    #   'mean1'   — product renormalized to global mean 1 after every step
+    #               (isolates gain drift of the cascade)
+    #   'clamp'   — product clamped per-pixel to [1/2, 2] (bounds the
+    #               multiplicative variance growth)
+    #   'last'    — no accumulation: only the CURRENT step's normalized
+    #               scale modulates the scored tensor; the propagated carry
+    #               stays unmodulated
+    # Consumed by core/pipeline.py's incremental/composed group steps;
+    # direct mode (single warp) is unaffected.
+    scale_cascade: str = "product"
     # int8 serving quantization per branch (ops/quant.py): the keyframe
     # ref branch is the dominant cost of every propagation family and the
     # safest to quantize (its scores pass through fusion recalibration).
@@ -264,7 +280,8 @@ class AccelNet(nn.Module):
             scale = scale / (jnp.abs(m) + 1e-6)
         return scale
 
-    def warp(self, prop, flow, scale, normalize_scale=True, max_disp=None):
+    def warp(self, prop, flow, scale, normalize_scale=True, max_disp=None,
+             modulate=True):
         # warp_dtype 'native' keeps the propagated tensor in its storage
         # dtype (bf16) through the gather — on DFF's 1024-ch features the
         # f32 round trips are the dominant non-key HBM traffic. 'f32'
@@ -273,9 +290,12 @@ class AccelNet(nn.Module):
         # normalized (e.g. composed, core/pipeline.py) scale field;
         # ``max_disp`` overrides the kernel displacement bound (composed
         # flows carry up to (k-1)x the per-step displacement).
+        # ``modulate=False`` skips the scale modulation entirely (the
+        # scale_cascade != 'product' pipeline paths carry the UNMODULATED
+        # tensor and apply their intervention at scoring time).
         x = prop if self.warp_dtype == "native" else prop.astype(jnp.float32)
         d = self.warp_max_disp if max_disp is None else max_disp
-        if self.warp_gather == "onehot" and self.use_scale_field:
+        if self.warp_gather == "onehot" and self.use_scale_field and modulate:
             # fused epilogue: the scale modulation multiplies inside the
             # one-hot matmul kernel before its single output write — the
             # unmodulated warped tensor never round-trips HBM
@@ -289,7 +309,7 @@ class AccelNet(nn.Module):
             x, flow, use_pallas=self.use_pallas_warp,
             max_disp=d, gather=self.warp_gather,
         )
-        if self.use_scale_field:
+        if self.use_scale_field and modulate:
             if normalize_scale:
                 scale = self.norm_scale(scale)
             if self.warp_dtype == "native":
@@ -360,6 +380,7 @@ def build_model(cfg) -> AccelNet:
         flow_width_mult=float(net.get("flow_width_mult", 1.0) or 1.0),
         stem=str(net.get("stem", "conv7")),
         scale_field_norm=str(net.get("scale_field_norm", "none") or "none"),
+        scale_cascade=str(net.get("scale_cascade", "product") or "product"),
         quantize_ref=bool(net.get("quantize_ref", False)),
         quantize_update=bool(net.get("quantize_update", False)),
         dilated_conv=str(net.get("dilated_conv", "auto") or "auto"),

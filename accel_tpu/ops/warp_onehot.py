@@ -90,7 +90,7 @@ def _pick_ct(C: int, D: int, Wp: int, fbytes: int, wbytes: int) -> int:
     base = 8 * Wp * ((2 * D + 2) * Wp * wbytes + Wp * 4)
     for ct in (512, 256, 128):
         win = 8 + 2 * D + 1
-        scr = base + win * Wp * ct * fbytes
+        scr = base + 2 * win * Wp * ct * fbytes  # 2-slot window (dbuf)
         bufs = 4 * 8 * Wp * ct * fbytes          # 2x (out + scale) blocks
         if scr + bufs <= 12 * 2**20 and ct <= _round_up(C, 128):
             return ct
@@ -108,7 +108,7 @@ def _pick_row_block(Wp: int, D: int, ct: int, fbytes: int,
         win = r + 2 * D + 1
         scr = (r * Wp * (2 * D + 2) * Wp * wbytes  # banded LHS
                + r * Wp * Wp * 4                   # colvec (f32)
-               + win * Wp * ct * fbytes)           # source window
+               + 2 * win * Wp * ct * fbytes)       # 2-slot source window
         if scr <= 10 * 2**20:
             return r
     return 1
@@ -116,7 +116,7 @@ def _pick_row_block(Wp: int, D: int, ct: int, fbytes: int,
 
 def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, lhs_ref,
             colvec_ref, fw_ref, sem, *, D: int, W: int, R: int, WIN: int,
-            CT: int, fused_scale: bool):
+            CT: int, NR: int, NC: int, fused_scale: bool):
     f32 = jnp.float32
     n = pl.program_id(0)
     r = pl.program_id(1)
@@ -126,11 +126,38 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, lhs_ref,
     # feat stays in HBM (ANY); DMA exactly the WIN-row halo window this
     # block reads (start = r*R in halo-padded coords — no clamp needed).
     # A blockspec-fetched (1,Hp,Wp,ct) would re-fetch the whole plane per
-    # channel tile. The copy overlaps the LHS build at c == 0.
-    dma = pltpu.make_async_copy(
-        feat_ref.at[n, pl.ds(r * R, WIN), :, pl.ds(c * CT, CT)],
-        fw_ref, sem)
-    dma.start()
+    # channel tile.
+    #
+    # DOUBLE-BUFFERED (r4 — the warp roofline close): step s computes from
+    # window slot s%2 while issuing step s+1's window DMA into the other
+    # slot, so the copy overlaps the dots instead of serializing ahead of
+    # them. Measured by ablation (tools/probe_onehot_kernel.py): the
+    # serialized window DMA was ~1.0 ms of the 4.9 ms single-buffered
+    # kernel on the DFF shape; double-buffering took it to 2.8 ms/call —
+    # 61% of the analytic MXU bound (the dots alone measure 1.8-2.0 ms vs
+    # the 1.74 ms bound, i.e. the matmuls already run at roof). Grid steps
+    # are sequential on TPU, so the slot a prefetch overwrites was last
+    # read two steps ago — never live.
+    step = (n * NR + r) * NC + c
+    nsteps = pl.num_programs(0) * NR * NC
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_window():
+        pltpu.make_async_copy(
+            feat_ref.at[n, pl.ds(r * R, WIN), :, pl.ds(c * CT, CT)],
+            fw_ref.at[0], sem.at[0]).start()
+
+    nxt = step + 1
+    cn = jax.lax.rem(nxt, NC)
+    rn = jax.lax.rem(nxt // NC, NR)
+    nn = nxt // (NC * NR)
+
+    @pl.when(nxt < nsteps)
+    def _prefetch_next():
+        pltpu.make_async_copy(
+            feat_ref.at[nn, pl.ds(rn * R, WIN), :, pl.ds(cn * CT, CT)],
+            fw_ref.at[1 - slot], sem.at[1 - slot]).start()
 
     @pl.when(c == 0)
     def _build_weights():
@@ -172,7 +199,9 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, lhs_ref,
             lhs_ref[:, :, di * W:(di + 1) * W] = (
                 ryd[..., None] * cv).astype(lhs_ref.dtype)
 
-    dma.wait()
+    pltpu.make_async_copy(
+        feat_ref.at[n, pl.ds(r * R, WIN), :, pl.ds(c * CT, CT)],
+        fw_ref.at[slot], sem.at[slot]).wait()
 
     # f32 weights demand HIGHEST precision: TPU DEFAULT truncates f32
     # matmul operands to bf16 on the MXU, silently degrading the
@@ -184,7 +213,7 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, lhs_ref,
     for il in range(R):
         # output row i = r*R + il mixes halo-padded window rows
         # [il, il + 2D+2) — a contiguous (KD, ct) slice of the window.
-        rhs = fw_ref[pl.ds(il, 2 * D + 2)].reshape(KD, CT).astype(wdtype)
+        rhs = fw_ref[slot, pl.ds(il, 2 * D + 2)].reshape(KD, CT).astype(wdtype)
         o = jax.lax.dot(lhs_ref[il], rhs,
                         preferred_element_type=f32, precision=prec)
         if fused_scale:
@@ -232,7 +261,7 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
     grid = (N, HB, Cp // ct)
     out = pl.pallas_call(
         functools.partial(_kernel, D=D, W=Wp, R=R, WIN=WIN, CT=ct,
-                          fused_scale=fused),
+                          NR=HB, NC=Cp // ct, fused_scale=fused),
         out_shape=jax.ShapeDtypeStruct((N, Hp, Wp, Cp), feat.dtype),
         grid=grid,
         in_specs=[
@@ -248,8 +277,8 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
         scratch_shapes=[
             pltpu.VMEM((R, Wp, (2 * D + 2) * Wp), wdtype),  # banded LHS
             pltpu.VMEM((R, Wp, Wp), jnp.float32),      # colvec (x weights)
-            pltpu.VMEM((WIN, Wp, ct), feat.dtype),     # source window
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, WIN, Wp, ct), feat.dtype),  # 2-slot source window
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(fx_p, fy_p, feat_p, scale_p)

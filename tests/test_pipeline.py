@@ -370,3 +370,114 @@ def test_composed_clip_loss_trains(tiny_accel):
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+
+
+# ---- scale_cascade interventions (r4) ---------------------------------------
+# BASELINE.md extreme finding 7 isolated the incremental-vs-direct far-offset
+# gap to the COMPOUNDING per-step scale product; network.scale_cascade carries
+# the attacks on that mechanism (mean1 / clamp / last).
+
+
+def test_cascade_post_semantics():
+    from accel_tpu.core.pipeline import _CASCADE_CLAMP, _cascade_post
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0.1, 5.0, (2, 4, 4, 3)), jnp.float32
+    )
+    m1 = _cascade_post(x, "mean1")
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(m1, axis=(1, 2, 3))), 1.0, atol=1e-5
+    )
+    cl = np.asarray(_cascade_post(x, "clamp"))
+    assert cl.min() >= 1.0 / _CASCADE_CLAMP - 1e-6
+    assert cl.max() <= _CASCADE_CLAMP + 1e-6
+    np.testing.assert_array_equal(
+        np.asarray(_cascade_post(x, "product")), np.asarray(x)
+    )
+
+
+def test_scale_cascade_last_equals_product_at_k2(tiny_accel):
+    """One cascade step: nothing has compounded yet, and 'last' applies
+    exactly the step's (norm'd) field — identical to the baked product."""
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(31), (1, 2, 128, 128, 3)) * 0.1
+    ref = clip_logits(m, variables, clip, 2, propagate="incremental")
+    out = clip_logits(
+        m.clone(scale_cascade="last"), variables, clip, 2,
+        propagate="incremental",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_scale_cascade_batched_matches_remat(tiny_accel):
+    """Every cascade mode: the batched incremental/composed group steps must
+    reproduce their sequential (remat) forms — same contract as 'product'."""
+    m, variables = tiny_accel
+    clip = jax.random.normal(jax.random.PRNGKey(33), (2, 4, 128, 128, 3)) * 0.1
+    for mode in ("mean1", "clamp", "last"):
+        mm = m.clone(scale_cascade=mode)
+        for propagate in ("incremental", "composed"):
+            b = clip_logits(mm, variables, clip, 4, propagate=propagate)
+            s = clip_logits(mm, variables, clip, 4, propagate=propagate,
+                            remat=True)
+            assert np.all(np.isfinite(np.asarray(b))), (mode, propagate)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(s), atol=1e-4, rtol=1e-4,
+                err_msg=f"mode={mode} propagate={propagate}",
+            )
+
+
+def test_scale_cascade_modes_differ_beyond_k2(tiny_accel):
+    """At k>=3 the interventions actually change the cascade (guards against
+    the knob silently mapping to 'product'). A randomly-initialized FlowNet
+    predicts zero flow and scale==1 (heads zero-init), where every mode
+    coincides — so drive _compose_fields with synthetic non-uniform fields."""
+    from accel_tpu.core.pipeline import _compose_fields
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(5)
+    B, k1, h, w = 1, 3, 8, 8
+    flow = jnp.asarray(rng.uniform(-0.5, 0.5, (B, k1, h, w, 2)), jnp.float32)
+    scale = jnp.asarray(
+        np.exp(rng.normal(0, 0.6, (B, k1, h, w, 19))), jnp.float32
+    )
+    outs = {}
+    for mode in ("product", "mean1", "clamp", "last"):
+        _, cs = _compose_fields(
+            m.clone(scale_cascade=mode), variables, flow, scale
+        )
+        outs[mode] = np.asarray(cs)
+    for mode in ("mean1", "clamp", "last"):
+        assert np.abs(outs[mode][:, -1] - outs["product"][:, -1]).max() > 1e-4, mode
+    # the interventions hold their invariants on the LAST composed entry
+    np.testing.assert_allclose(outs["mean1"][:, -1].mean(), 1.0, atol=1e-3)
+    assert outs["clamp"][:, -1].max() <= 2.0 + 1e-5
+    assert outs["clamp"][:, -1].min() >= 0.5 - 1e-5
+
+
+def test_scale_cascade_clip_loss_trains(tiny_accel):
+    """clip objective through a cascade intervention: finite loss + grads
+    (a training arm through the fixed cascade must be viable)."""
+    from accel_tpu.core.pipeline import clip_loss_and_stats
+
+    m, variables = tiny_accel
+    rng = np.random.default_rng(3)
+    batch = {
+        "clip": jnp.asarray(
+            rng.standard_normal((1, 4, 128, 128, 3)), jnp.float32
+        ) * 0.1,
+        "label": jnp.asarray(rng.integers(0, 19, (1, 4, 128, 128)), jnp.int32),
+    }
+    mm = m.clone(scale_cascade="mean1")
+
+    def loss_fn(v):
+        return clip_loss_and_stats(
+            mm, v, batch, 19, propagate="incremental", remat=True
+        )[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables)
+    assert np.isfinite(float(loss))
+    assert all(
+        np.all(np.isfinite(np.asarray(g)))
+        for g in jax.tree_util.tree_leaves(grads)
+    )

@@ -232,13 +232,17 @@ def main():
           flush=True)
 
     def run(name, fn, check=False):
+        # SlopeMeter step contract: step(variables, base, scale) — the
+        # per-step scale multiplies the flow so no two scan steps are
+        # identical (defeats remote result caching) without changing the
+        # kernel's work (|flow| stays < 2.6 << D+R window).
         try:
             if check:
-                out = np.asarray(fn((fx, fy), feat), np.float32)
+                out = np.asarray(fn((fx, fy, scale), feat, 1.0), np.float32)
                 err = float(np.max(np.abs(out - ref)))
             else:
                 err = float("nan")
-            m = SlopeMeter(fn, (fx, fy), feat, verbose=False).compile()
+            m = SlopeMeter(fn, (fx, fy, scale), feat, verbose=False).compile()
             t = min(m.draw() for _ in range(3))
             print(f"  {name:12s} {t * 1e3:8.3f} ms/call"
                   + (f"  max|err| {err:.4f}" if check else ""), flush=True)
@@ -247,28 +251,38 @@ def main():
             print(f"  {name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
             return None
 
-    for R, ct in ((8, 512), (8, 256), (4, 512), (16, 512)):
+    # ct=256 first: the dbuf/ck variants' extra VMEM (double window + the
+    # (R*W, WIN*W) ck LHS) blows the 16 MB scoped-vmem stack at ct=512
+    # (measured: 17.6M > 16M); combos are also selectable via argv.
+    combos = ((8, 256), (8, 512), (4, 256))
+    if len(sys.argv) > 1:
+        combos = tuple(
+            tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]
+        )
+    for R, ct in combos:
         print(f"== R={R} ct={ct} ==", flush=True)
         base = dict(D=D, R=R, ct=ct)
-        run("shipped", lambda v, b: warp_onehot_fwd(
-            b, jnp.stack([v[0], v[1]], -1), scale=scale, max_disp=D,
+        run("shipped", lambda v, b, s: warp_onehot_fwd(
+            b, jnp.stack([v[0] * s, v[1] * s], -1), scale=v[2], max_disp=D,
             row_block=R, channel_tile=ct), check=True)
-        run("full", lambda v, b: probe_call(b, v[0], v[1], scale, **base),
-            check=True)
-        run("nobuild", lambda v, b: probe_call(b, v[0], v[1], scale,
-                                               build=False, **base))
-        run("nodma", lambda v, b: probe_call(b, v[0], v[1], scale,
-                                             dma=False, **base))
-        run("nodot", lambda v, b: probe_call(b, v[0], v[1], scale,
-                                             dot=False, **base))
-        run("dotonly", lambda v, b: probe_call(b, v[0], v[1], scale,
-                                               build=False, dma=False, **base))
-        run("dbuf", lambda v, b: probe_call(b, v[0], v[1], scale,
-                                            dbuf=True, **base), check=True)
-        run("ck", lambda v, b: probe_call(b, v[0], v[1], scale, ck=True,
-                                          **base), check=True)
-        run("ck+dbuf", lambda v, b: probe_call(b, v[0], v[1], scale, ck=True,
+        run("full", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
+                                               **base), check=True)
+        run("nobuild", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
+                                                  build=False, **base))
+        run("nodma", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
+                                                dma=False, **base))
+        run("nodot", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
+                                                dot=False, **base))
+        run("dotonly", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
+                                                  build=False, dma=False,
+                                                  **base))
+        run("dbuf", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
                                                dbuf=True, **base), check=True)
+        run("ck", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
+                                             ck=True, **base), check=True)
+        run("ck+dbuf", lambda v, b, s: probe_call(b, v[0] * s, v[1] * s, v[2],
+                                                  ck=True, dbuf=True, **base),
+            check=True)
 
 
 if __name__ == "__main__":
