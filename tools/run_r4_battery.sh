@@ -71,12 +71,6 @@ train_one failure_synth_accel18
 ev failure_synth_accel18 --offset-sweep
 ev failure_synth_accel18 --interval 10 --offsets 8
 
-# ---- arm 4: clip objective TRAINED through direct (extreme set)
-train_one extreme_synth_accel18_clip_direct
-ev extreme_synth_accel18_clip_direct --propagate direct --offsets 0,3,4
-ev extreme_synth_accel18_clip_direct --propagate incremental --offsets 4
-ev extreme_synth_accel18_clip_direct --interval 10 --offsets 8 --propagate direct
-
 # ---- arm 5: flow-failure Accel-18 (clip, flagship recipe)
 train_one failure_synth_accel18_clip
 ev failure_synth_accel18_clip --propagate incremental --offset-sweep
@@ -94,4 +88,10 @@ for m in mean1 last; do
   ev hard_synth_accel18_clip --propagate incremental \
      --set-network scale_cascade=$m --offsets 4
 done
+# ---- arm 4: clip objective TRAINED through direct (extreme set)
+train_one extreme_synth_accel18_clip_direct
+ev extreme_synth_accel18_clip_direct --propagate direct --offsets 0,3,4
+ev extreme_synth_accel18_clip_direct --propagate incremental --offsets 4
+ev extreme_synth_accel18_clip_direct --interval 10 --offsets 8 --propagate direct
+
 echo "=== r4 battery done $(date +%H:%M:%S) ==="
