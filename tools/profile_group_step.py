@@ -106,8 +106,12 @@ def main():
     prop_nk = jnp.asarray(
         rng.standard_normal((n_nk, hf, wf, C_prop)), jnp.bfloat16)
     flow_nk = jnp.asarray(rng.uniform(-4, 4, (n_nk, hf, wf, 2)), jnp.float32)
+    # warp_dtype=native delivers the scale field in bf16 (cast upstream in
+    # _flow_post before the resize) — feed the stage what the composite
+    # actually dispatches, else the row pays a phantom 0.8 GB f32->bf16 cast
     scale_nk = jnp.asarray(
-        rng.uniform(0.5, 1.5, (n_nk, hf, wf, C_prop)), jnp.float32)
+        rng.uniform(0.5, 1.5, (n_nk, hf, wf, C_prop)),
+        jnp.bfloat16 if model.warp_dtype == "native" else jnp.float32)
     scores_all = jnp.asarray(
         rng.standard_normal((B * k, hf, wf, 19)), jnp.float32)
     upd_all = jnp.asarray(rng.standard_normal((B * k, hf, wf, 19)), jnp.float32)
