@@ -34,7 +34,15 @@ def parse_args():
                         "SURVEY.md Appendix B)")
     p.add_argument("--offsets", default=None,
                    help="csv of KEY_FRAME_OFFSET values to evaluate (resume a "
-                        "partial --offset-sweep without redoing finished rows)")
+                        "partial --offset-sweep without redoing finished rows). "
+                        "NOTE: these are KEY offsets; the printed row is the "
+                        "ANNOTATED offset interval-1-key. Prefer --ann-offsets.")
+    p.add_argument("--ann-offsets", default=None,
+                   help="csv of ANNOTATED-frame offsets after the keyframe "
+                        "(the quantity every results table reports; converted "
+                        "internally to KEY_FRAME_OFFSET = interval-1-ann). "
+                        "Added after the key-offset semantics of --offsets "
+                        "mis-aimed sweeps in two separate rounds.")
     p.add_argument("--quantize", action="store_true",
                    help="int8 serving quantization of both branches "
                         "(network.quantize_ref/quantize_update) for this "
@@ -189,7 +197,9 @@ def main():
     )
     for interval in intervals:
         cfg.TEST.KEY_FRAME_INTERVAL = interval
-        if args.offsets:
+        if args.ann_offsets:
+            offsets = [interval - 1 - int(x) for x in args.ann_offsets.split(",")]
+        elif args.offsets:
             offsets = [int(x) for x in args.offsets.split(",")]
         elif args.offset_sweep:
             offsets = list(range(interval))  # ann_pos = interval-1-key_offset sweeps k-1..0
