@@ -17,6 +17,25 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def resolve_key_offsets(interval, ann_offsets=None, offsets=None,
+                        offset_sweep=False, default_key_offset=0):
+    """KEY_FRAME_OFFSET values to evaluate at ``interval``.
+
+    The eval loop is keyed on the KEY offset (where the keyframe sits
+    before the annotated frame) but every results table reports the
+    ANNOTATED offset ``interval - 1 - key``. Sweep scripts passing
+    annotated values to --offsets mis-aimed measurements in three
+    separate sessions, so the conversion lives here, once, under test.
+    """
+    if ann_offsets:
+        return [interval - 1 - int(x) for x in str(ann_offsets).split(",")]
+    if offsets:
+        return [int(x) for x in str(offsets).split(",")]
+    if offset_sweep:
+        return list(range(interval))  # ann_pos sweeps k-1..0
+    return [int(default_key_offset)]
+
+
 def parse_args():
     p = argparse.ArgumentParser(description="Test Accel/DFF/DeepLab (TPU-native)")
     p.add_argument("--cfg", required=True)
@@ -197,14 +216,10 @@ def main():
     )
     for interval in intervals:
         cfg.TEST.KEY_FRAME_INTERVAL = interval
-        if args.ann_offsets:
-            offsets = [interval - 1 - int(x) for x in args.ann_offsets.split(",")]
-        elif args.offsets:
-            offsets = [int(x) for x in args.offsets.split(",")]
-        elif args.offset_sweep:
-            offsets = list(range(interval))  # ann_pos = interval-1-key_offset sweeps k-1..0
-        else:
-            offsets = [int(cfg.TEST.KEY_FRAME_OFFSET)]
+        offsets = resolve_key_offsets(
+            interval, args.ann_offsets, args.offsets, args.offset_sweep,
+            cfg.TEST.KEY_FRAME_OFFSET,
+        )
         for key_offset in offsets:
             cfg.TEST.KEY_FRAME_OFFSET = key_offset
             loader = TestClipLoader(
