@@ -257,9 +257,17 @@ def test_generator_covers_post_annotated_frames(tmp_path):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     import make_synthetic_dataset as gen
 
+    import functools
+
     rng = np.random.default_rng(0)
-    for writer, style in ((gen.write_snippet, "bands"),
-                          (gen.write_snippet_hard, "hard")):
+    for writer, style in (
+        (gen.write_snippet, "bands"),
+        (gen.write_snippet_hard, "hard"),
+        (functools.partial(gen.write_snippet_hard, motion=6.0, pan=8.0,
+                           n_occluders=2), "extreme"),
+        (functools.partial(gen.write_snippet_hard, motion=3.0, pan=4.0,
+                           n_occluders=2, failure=True), "failure"),
+    ):
         out = str(tmp_path / style)
         writer(out, "train", "c", 0, 64, 128, rng)
         seq_dir = os.path.join(out, "leftImg8bit_sequence", "train", "c")
