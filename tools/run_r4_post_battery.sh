@@ -12,6 +12,9 @@ timeout 3600 python -u tools/profile_layers.py --branch fast_update \
 echo "=== per-layer roofline: key R101 branch $(date +%H:%M:%S) ==="
 timeout 3600 python -u tools/profile_layers.py --branch key101 \
     || echo "LAYERS key101 FAILED rc=$?"
+echo "=== per-layer roofline: faithful update branch $(date +%H:%M:%S) ==="
+timeout 3600 python -u tools/profile_layers.py --branch faithful_update \
+    || echo "LAYERS faithful_update FAILED rc=$?"
 
 echo "=== fast composite baseline (clean) $(date +%H:%M:%S) ==="
 timeout 3600 python -u tools/profile_group_step.py --config accel18_fast \
