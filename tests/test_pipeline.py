@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from accel_tpu.core.pipeline import clip_logits, clip_predictions, pair_loss
 
@@ -455,9 +456,11 @@ def test_scale_cascade_modes_differ_beyond_k2(tiny_accel):
     assert outs["clamp"][:, -1].min() >= 0.5 - 1e-5
 
 
-def test_scale_cascade_clip_loss_trains(tiny_accel):
+@pytest.mark.parametrize("mode", ["mean1", "last"])
+def test_scale_cascade_clip_loss_trains(tiny_accel, mode):
     """clip objective through a cascade intervention: finite loss + grads
-    (a training arm through the fixed cascade must be viable)."""
+    (a training arm through the fixed cascade must be viable — 'last' is
+    the shipped-default candidate trained by the r4 follow-up arm)."""
     from accel_tpu.core.pipeline import clip_loss_and_stats
 
     m, variables = tiny_accel
@@ -468,7 +471,7 @@ def test_scale_cascade_clip_loss_trains(tiny_accel):
         ) * 0.1,
         "label": jnp.asarray(rng.integers(0, 19, (1, 4, 128, 128)), jnp.int32),
     }
-    mm = m.clone(scale_cascade="mean1")
+    mm = m.clone(scale_cascade=mode)
 
     def loss_fn(v):
         return clip_loss_and_stats(
