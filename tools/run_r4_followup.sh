@@ -46,4 +46,20 @@ ev failure_synth_accel18_clip --propagate incremental \
 ev failure_synth_accel18_clip --interval 10 --ann-offsets 8 \
    --propagate incremental --set-network scale_cascade=last
 
+# composed + last: with 'last' the composed mode's scale-field warps
+# vanish (only the 2-ch flow composition cascades) while keeping the
+# single propagated-tensor resample — direct's sharpness at incremental's
+# tracked displacement with the winning modulation semantics
+ev extreme_synth_accel18_clip --propagate composed \
+   --set-network scale_cascade=last --ann-offsets 3,4
+ev extreme_synth_accel18_clip --interval 10 --ann-offsets 8 \
+   --propagate composed --set-network scale_cascade=last
+
+# per-class IU at the far offset (single-offset evals print the per-class
+# table): does fusion's win/loss vs DFF localize to the flow-failure
+# classes (pole=6 / traffic-sign=7 thin structures, blurred fast movers)?
+ev failure_synth_dff --ann-offsets 4
+ev failure_synth_accel18 --ann-offsets 4
+ev failure_synth_accel18_clip --propagate incremental --ann-offsets 4
+
 echo "=== r4 followup done $(date +%H:%M:%S) ==="
