@@ -62,4 +62,20 @@ ev failure_synth_dff --ann-offsets 4
 ev failure_synth_accel18 --ann-offsets 4
 ev failure_synth_accel18_clip --propagate incremental --ann-offsets 4
 
+# budget-scaled Accel-vs-DFF rung (VERDICT r3 weak #4): the 30-epoch
+# battery left the Accel pair arm at loss 1.27 still descending while DFF
+# converged to 0.58 — re-train both sides at 90 epochs and re-read the
+# comparison at the far offset and k=10
+for arm in failure_synth_accel18_e90 failure_synth_dff_e90; do
+  echo "=== TRAIN $arm $(date +%H:%M:%S) ==="
+  timeout 5400 python experiments/train.py --cfg experiments/cfgs/$arm.yaml \
+      --frequent 50 || echo "TRAIN $arm FAILED rc=$?"
+done
+ev failure_synth_accel18_e90 --offset-sweep
+ev failure_synth_dff_e90 --offset-sweep
+ev failure_synth_accel18_e90 --interval 10 --ann-offsets 8
+ev failure_synth_dff_e90 --interval 10 --ann-offsets 8
+ev failure_synth_accel18_e90 --ann-offsets 4
+ev failure_synth_dff_e90 --ann-offsets 4
+
 echo "=== r4 followup done $(date +%H:%M:%S) ==="
