@@ -46,19 +46,21 @@ def make_defaults() -> Config:
                 # FlowNet runs on inputs downscaled by this factor
                 "flow_input_downscale": 2,
                 # flow propagation: 'incremental' (prev->cur cascaded
-                # warps — the Accel paper's own semantics, and with the clip
-                # training objective the measured accuracy-optimal recipe:
-                # best keyframe-path AND best warped-offset mIoU on the
-                # hard-synth ladder, BASELINE.md) or 'direct' (key->cur in
-                # one shot — the DFF semantics and the mode the reference's
-                # PAIR training recipe requires: a pair-trained scale field
-                # is calibrated for exactly one warp and compounds under
-                # cascade). Must match TRAIN.objective: clip<->incremental,
-                # pair<->direct. Third mode 'composed' (r3): per-step flows
-                # composed into one key->frame warp per frame — single
-                # resample (direct's sharpness) at gap-scaled displacement
-                # (incremental's tracking); see core/pipeline.py
-                # _group_step_composed_batched for the measured motivation.
+                # warps — the Accel paper's own semantics), 'direct'
+                # (key->cur in one shot — DFF semantics, and what the
+                # reference's PAIR recipe requires: a pair-trained scale
+                # field is calibrated for exactly one warp), or 'composed'
+                # (r3 analysis mode: per-step flows composed into one
+                # key->frame warp). MEASURED DECISION (r4 battery,
+                # BASELINE.md scale-cascade table): train the clip
+                # objective through incremental+product (this default),
+                # evaluate under incremental with scale_cascade='last' —
+                # that (objective x eval-propagate) pair is best on all
+                # three synth sets at far offsets AND at k=10 (extreme
+                # 81.21/79.36 vs direct's 80.33/77.62 and product-eval's
+                # 76.33/60.54; hard 86.98 vs 84.79/86.77). The serving
+                # cfgs ship the eval-time 'last' via TEST.serving_network;
+                # pair-recipe cfgs stay direct.
                 "propagate": "incremental",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
@@ -68,8 +70,12 @@ def make_defaults() -> Config:
                 # (cumulative product renormalized to global mean 1 per
                 # step) | 'clamp' (product clipped to [1/2, 2] per pixel)
                 # | 'last' (only the current step's field modulates; no
-                # accumulation). r4 attack on the measured compounding-
-                # product accuracy loss (BASELINE.md extreme finding 7).
+                # accumulation). MEASURED (r4): 'last' at EVAL time beats
+                # product and direct on every synth set (see the propagate
+                # note above) — the scale field's information is per-step,
+                # not cumulative, so multiplying histories degrades it.
+                # Default stays 'product' (training + reference parity);
+                # serving cfgs apply 'last' via TEST.serving_network.
                 "scale_cascade": "product",
                 # 'mean1' pins the scale field's degenerate global gain
                 # (from-scratch default; measured: unpinned gain drifts to

@@ -50,3 +50,22 @@ def test_dff_serving_cfg_ships_measured_lowering():
     model = build_model(cfg)
     assert (model.warp_dtype, model.warp_gather, model.warp_max_disp) == (
         "native", "onehot", 4)
+
+
+def test_incremental_serving_cfgs_ship_last_cascade():
+    """Every incremental-eval serving cfg carries the measured-best
+    eval-time cascade semantics (r4 battery: scale_cascade='last' beats
+    product AND direct at the far offsets on all three synth sets —
+    BASELINE.md scale-cascade table) while the TRAINING default stays
+    'product' (the semantics the checkpoints are trained through)."""
+    base = os.path.join(os.path.dirname(__file__), "..", "experiments", "cfgs")
+    for name in ("accel18_cityscapes", "accel34_cityscapes",
+                 "accel50_cityscapes", "accel101_cityscapes",
+                 "accel18_camvid", "accel18_fast_cityscapes"):
+        cfg = load_config(os.path.join(base, f"{name}.yaml"))
+        assert cfg.network.get("scale_cascade", "product") == "product", name
+        assert cfg.network.propagate == "incremental", name
+        assert cfg.TEST.serving_network == {"scale_cascade": "last"}, name
+        for k, v in cfg.TEST.serving_network.items():
+            cfg.network[k] = v
+        assert build_model(cfg).scale_cascade == "last", name
