@@ -50,18 +50,15 @@ def make_defaults() -> Config:
                 # MEASURED-BEST flagship default), 'incremental' (prev->
                 # cur cascaded warps — the Accel paper's own semantics),
                 # or 'composed' (r3 analysis mode: per-step flows composed
-                # into one key->frame warp). MEASURED DECISION (r4
-                # battery, BASELINE.md): the clip objective TRAINED
-                # THROUGH direct propagation and evaluated direct beats
-                # every incremental-trained row on all three synth sets —
-                # extreme 84.36/84.47 at k=5-off4/k=10 (vs 81.21/79.36
-                # for incremental-trained + 'last' eval), hard 88.05/85.56
-                # (vs 86.98/85.80), failure 83.17/81.69 (where it is also
-                # the first arm to beat pure DFF propagation, 81.41/78.68)
-                # — because multi-gap direct training teaches FlowNet
-                # gap-scaled flow (the r3 probe's "FlowNet compresses
-                # multi-frame displacement" was a property of pair
-                # training, not the architecture). The reference's
+                # into one key->frame warp). MEASURED DECISION (r4): the
+                # clip objective TRAINED THROUGH direct propagation and
+                # evaluated direct beats every incremental-trained row on
+                # all three synthetic sets — decision tables in BASELINE.md
+                # ("Hard-set decision rows" + the extreme/failure battery
+                # sections) — because multi-gap direct training teaches
+                # FlowNet gap-scaled flow (the r3 probe's "FlowNet
+                # compresses multi-frame displacement" was a property of
+                # pair training, not the architecture). The reference's
                 # incremental semantics stay available:
                 # accel18_cityscapes_incremental.yaml (clip-through-
                 # incremental + eval-time scale_cascade='last').

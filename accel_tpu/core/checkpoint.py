@@ -9,10 +9,119 @@ restart-from-epoch like the reference's TRAIN.RESUME/begin_epoch.
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
 import orbax.checkpoint as ocp
+
+# ---------------------------------------------------------------------------
+# Training-semantics provenance.
+#
+# The repo's own measurements prove eval-mode mismatch is the single largest
+# accuracy hazard in the system: a clip-through-direct checkpoint evaluated
+# under incremental collapses 84.36 -> 31.97 mIoU, a pair-trained one to
+# 20.2, and a 'last'-trained incremental recipe served as 'product' loses up
+# to ~25 points at k=10 (BASELINE.md propagation/cascade tables). Checkpoints
+# therefore carry a provenance.json recording the (objective,
+# trained-through-propagate, scale_field_norm, scale_cascade) they were
+# trained with, and eval refuses the known-collapse combinations unless
+# forced. The reference has no equivalent (its .params carry no metadata —
+# SURVEY.md §5 checkpoint row); this is a rebuild-side guardrail.
+
+PROVENANCE_FILE = "provenance.json"
+
+
+def save_provenance(prefix_dir: str, prov: dict) -> None:
+    os.makedirs(prefix_dir, exist_ok=True)
+    with open(os.path.join(prefix_dir, PROVENANCE_FILE), "w") as f:
+        json.dump(prov, f, indent=1, sort_keys=True)
+
+
+def load_provenance(prefix_dir: str) -> dict | None:
+    path = os.path.join(prefix_dir, PROVENANCE_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def provenance_from_cfg(cfg) -> dict:
+    return {
+        "objective": str(cfg.TRAIN.objective),
+        "propagate": str(cfg.network.propagate),
+        "scale_field_norm": str(cfg.network.scale_field_norm),
+        "scale_cascade": str(cfg.network.scale_cascade),
+        "family": str(cfg.network.name),
+    }
+
+
+class EvalSemanticsError(ValueError):
+    """Eval semantics known (measured) to collapse this checkpoint."""
+
+
+def check_eval_semantics(
+    prov: dict | None, eval_propagate: str, eval_network, force: bool = False
+) -> list[str]:
+    """Compare a checkpoint's training provenance against the requested
+    eval semantics. Returns human-readable warnings for benign mismatches
+    (eval-time interventions); raises :class:`EvalSemanticsError` for the
+    measured-collapse combinations unless ``force``.
+
+    ``eval_network`` is the post-override cfg.network (dict-like with
+    scale_cascade / scale_field_norm).
+    """
+    if prov is None:
+        return []
+    warnings: list[str] = []
+    objective = prov.get("objective")
+    trained_prop = prov.get("propagate")
+    cascading = eval_propagate in ("incremental", "composed")
+
+    fatal = None
+    if objective == "pair" and cascading:
+        fatal = (
+            f"pair-trained checkpoint evaluated --propagate {eval_propagate}: "
+            "the pair objective supervises exactly ONE warp; its scale field "
+            "compounds under cascade (measured 80.0 -> 20.2 mIoU, "
+            "BASELINE.md propagation table)"
+        )
+    elif objective == "clip" and trained_prop == "direct" and cascading:
+        fatal = (
+            f"clip-through-direct checkpoint evaluated --propagate "
+            f"{eval_propagate}: a direct-trained scale field is calibrated "
+            "for exactly one warp (measured 84.36 -> 31.97 mIoU, BASELINE.md "
+            "r4 decision table)"
+        )
+    if fatal is not None:
+        if not force:
+            raise EvalSemanticsError(
+                fatal + " — pass --force to evaluate anyway"
+            )
+        warnings.append("FORCED past known-collapse semantics: " + fatal)
+    elif trained_prop is not None and eval_propagate != trained_prop:
+        warnings.append(
+            f"eval propagate={eval_propagate!r} differs from the semantics "
+            f"this checkpoint was trained through ({trained_prop!r}) — "
+            "intentional for eval-time intervention studies; not the "
+            "checkpoint's native operating point"
+        )
+
+    for key in ("scale_cascade", "scale_field_norm"):
+        trained_v = prov.get(key)
+        eval_v = eval_network.get(key) if eval_network is not None else None
+        if trained_v is not None and eval_v is not None \
+                and str(eval_v) != str(trained_v):
+            hazard = (
+                " (cascade-semantics mismatch measured up to ~25 mIoU at "
+                "k=10 — BASELINE.md intervention table)"
+                if key == "scale_cascade" and cascading else ""
+            )
+            warnings.append(
+                f"eval {key}={eval_v!r} differs from trained "
+                f"{key}={trained_v!r}{hazard}"
+            )
+    return warnings
 
 
 def _mngr(prefix_dir: str) -> ocp.CheckpointManager:

@@ -521,7 +521,16 @@ def _group_step(model, variables, frames_g, propagate: str, remat: bool = False,
         prop = model.apply(v, frame, method="ref_propagated")
         return prop, model.apply(v, prop, method="ref_scores_from_propagated")
 
-    cascade = model.scale_cascade if model.use_scale_field else "product"
+    # Direct mode performs a single key->frame warp — there is no cascade,
+    # so cascade interventions are vacuous and the sequential form must
+    # match _group_step_direct_batched's plain semantics (before r5,
+    # 'mean1'/'clamp' here _cascade_post-ed the SINGLE step's field, which
+    # the batched direct path never does — advisor r4 low finding).
+    cascade = (
+        model.scale_cascade
+        if model.use_scale_field and propagate != "direct"
+        else "product"
+    )
 
     def prop_step(v, carry, cur_rep, anchor_rep):
         # carry = (unmodulated tensor, cumulative scale product or None);

@@ -97,6 +97,21 @@ def make_key_cur_predictors(
     """
     if propagate not in ("direct", "incremental"):
         raise ValueError(f"propagate must be direct|incremental, got {propagate!r}")
+    if (
+        propagate == "incremental"
+        and model.use_scale_field
+        and model.scale_cascade in ("mean1", "clamp")
+    ):
+        # these cascade semantics need the cumulative scale product carried
+        # as a second stream; the key/cur streaming protocol carries only
+        # (prop, anchor_small). They are analysis modes (BASELINE.md r4
+        # intervention table) — serve 'last' (the measured-best incremental
+        # semantics) or 'product' (reference), or eval via pred_eval_clips.
+        raise ValueError(
+            f"scale_cascade={model.scale_cascade!r} is not representable in "
+            "the key/cur streaming protocol under incremental propagation; "
+            "use 'last' or 'product', or evaluate with pred_eval_clips"
+        )
     import jax.numpy as jnp
 
     from accel_tpu.ops.upsample import resize_bilinear
@@ -140,8 +155,29 @@ def make_key_cur_predictors(
         else:
             small = model.apply(v, image, method="downscale_for_flow")
             flow, scale = model.apply(v, small, anchor_small, method="flow_pair")
-        warped = model.apply(v, prop, flow, scale, method="warp")
-        scores = model.apply(v, warped, method="ref_scores_from_propagated")
+        if (
+            propagate == "incremental"
+            and model.use_scale_field
+            and model.scale_cascade == "last"
+        ):
+            # scale_cascade='last' (the shipped incremental serving
+            # semantics — accel18_cityscapes_incremental.yaml): carry the
+            # UNMODULATED tensor frame-to-frame and modulate only the
+            # scored copy with the CURRENT step's normalized field — the
+            # streaming mirror of pipeline.prop_step's cascade branch.
+            # Before r5 this path silently served 'product' (the advisor's
+            # r4 medium finding: up to ~25 mIoU off at k=10 vs the
+            # semantics the cfg's numbers were measured under).
+            s = model.apply(v, scale, method="norm_scale")
+            warped = model.apply(
+                v, prop, flow, s, method="warp",
+                normalize_scale=False, modulate=False,
+            )
+            scored = warped * s.astype(warped.dtype)
+        else:
+            warped = model.apply(v, prop, flow, scale, method="warp")
+            scored = warped
+        scores = model.apply(v, scored, method="ref_scores_from_propagated")
         if model.family == "accel":
             upd = model.apply(v, image, method="update_scores")
             scores = model.apply(v, scores, upd, method="fuse")

@@ -452,9 +452,12 @@ def main():
         _flops_of(fn, v, c), B * k,
     )
 
-    # Incremental (frame-to-frame cascade) — the flagship DEFAULT semantics
-    # since r3; the batched incremental group step (core/pipeline.py) makes
-    # it near-direct-speed: only the cheap warp cascade is sequential
+    # Incremental (frame-to-frame cascade) — the reference's semantics and
+    # the flagship default r3->r4 (since r4 the default is DIRECT, flipped
+    # by the clip-through-direct decision rows in BASELINE.md); still
+    # benched as the serving-relevant alternative. The batched incremental
+    # group step (core/pipeline.py) makes it near-direct-speed: only the
+    # cheap warp cascade is sequential
     try:
         fn2, _, c2 = clip_setup(model, "incremental", variables=v)
         meters["accel18_incr"] = (

@@ -27,10 +27,28 @@ def resolve_key_offsets(interval, ann_offsets=None, offsets=None,
     annotated values to --offsets mis-aimed measurements in three
     separate sessions, so the conversion lives here, once, under test.
     """
+    def _check(key_off, origin):
+        # a key offset outside [0, interval-1] silently measures a
+        # different protocol (e.g. an ann offset valid at k=10 reused at
+        # k=5 resolves negative) — the exact mis-aimed-sweep class this
+        # helper exists to prevent; refuse instead
+        if not 0 <= key_off < interval:
+            raise ValueError(
+                f"{origin} resolves to KEY_FRAME_OFFSET={key_off}, outside "
+                f"[0, {interval - 1}] at interval {interval}"
+            )
+        return key_off
+
     if ann_offsets:
-        return [interval - 1 - int(x) for x in str(ann_offsets).split(",")]
+        return [
+            _check(interval - 1 - int(x), f"--ann-offsets value {x}")
+            for x in str(ann_offsets).split(",")
+        ]
     if offsets:
-        return [int(x) for x in str(offsets).split(",")]
+        return [
+            _check(int(x), f"--offsets value {x}")
+            for x in str(offsets).split(",")
+        ]
     if offset_sweep:
         return list(range(interval))  # ann_pos sweeps k-1..0
     return [int(default_key_offset)]
@@ -79,6 +97,12 @@ def parse_args():
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--random-weights", action="store_true",
                    help="skip checkpoint restore (pipeline smoke / timing)")
+    p.add_argument("--force", action="store_true",
+                   help="evaluate even when the requested semantics are a "
+                        "measured-collapse mismatch against the checkpoint's "
+                        "training provenance (e.g. a clip-through-direct "
+                        "checkpoint under --propagate incremental: 31.97 vs "
+                        "84.36 mIoU — BASELINE.md r4 decision table)")
     args, _unknown = p.parse_known_args()
     return args
 
@@ -97,7 +121,12 @@ def main():
     import jax.numpy as jnp
 
     from accel_tpu.config import load_config
-    from accel_tpu.core.checkpoint import load_checkpoint, saved_epochs
+    from accel_tpu.core.checkpoint import (
+        check_eval_semantics,
+        load_checkpoint,
+        load_provenance,
+        saved_epochs,
+    )
     from accel_tpu.core.predictor import pred_eval_clips
     from accel_tpu.data.loader import TestClipLoader
     from accel_tpu.data.prefetch import PrefetchingIter
@@ -210,6 +239,14 @@ def main():
     shard_spatial = int(mesh.shape["spatial"]) > 1
 
     propagate = args.propagate or str(cfg.network.propagate)
+    # Eval-mode guardrail: the checkpoint records what it was trained with
+    # (provenance.json next to the orbax steps); the measured-collapse
+    # combinations raise unless --force, benign interventions warn. Absent
+    # for pre-r5 checkpoints — checks skip.
+    prov = None if (args.random_weights or not steps) else load_provenance(prefix)
+    for msg in check_eval_semantics(prov, propagate, cfg.network,
+                                    force=args.force):
+        logger.warning(f"PROVENANCE: {msg}")
     intervals = (
         [int(x) for x in args.sweep.split(",")]
         if args.sweep else [int(cfg.TEST.KEY_FRAME_INTERVAL)]

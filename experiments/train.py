@@ -39,7 +39,13 @@ def main():
     import jax.numpy as jnp
 
     from accel_tpu.config import load_config
-    from accel_tpu.core.checkpoint import save_checkpoint, load_checkpoint, latest_epoch
+    from accel_tpu.core.checkpoint import (
+        save_checkpoint,
+        load_checkpoint,
+        latest_epoch,
+        provenance_from_cfg,
+        save_provenance,
+    )
     from accel_tpu.core.trainer import (
         fit,
         init_train_state,
@@ -100,6 +106,10 @@ def main():
     state = init_train_state(model, variables, tx)
 
     prefix = os.path.join(out_dir, cfg.TRAIN.model_prefix)
+    # record the training semantics next to the checkpoints BEFORE fit so
+    # even interrupted runs carry them; experiments/test.py refuses the
+    # measured-collapse eval combinations (see core/checkpoint.py)
+    save_provenance(prefix, provenance_from_cfg(cfg))
     begin_epoch = int(cfg.TRAIN.begin_epoch)
     if cfg.TRAIN.RESUME:
         le = latest_epoch(prefix)

@@ -41,3 +41,104 @@ def test_sweep_covers_every_offset_once():
 
 def test_default_is_cfg_key_offset():
     assert resolve_key_offsets(5, default_key_offset=2) == [2]
+
+
+def test_out_of_range_offsets_raise():
+    # an ann offset valid at k=10 reused at k=5 resolves to a NEGATIVE key
+    # offset — previously it silently measured a different protocol
+    # (advisor r4: the exact mis-aimed-sweep class this helper prevents)
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        resolve_key_offsets(5, ann_offsets="8")
+    with pytest.raises(ValueError, match="outside"):
+        resolve_key_offsets(5, offsets="5")
+    with pytest.raises(ValueError, match="outside"):
+        resolve_key_offsets(5, ann_offsets="-1")
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint provenance / eval-mode guardrail (VERDICT r4 #4): the repo's
+# own tables prove eval-mode mismatch is the largest accuracy hazard in the
+# system (31.97 vs 84.36 for clip-through-direct under incremental;
+# 20.2 for pair; ~25 points for cascade-semantics mismatch at k=10).
+
+
+def _prov(objective="clip", propagate="direct", cascade="product",
+          norm="mean1"):
+    return {
+        "objective": objective,
+        "propagate": propagate,
+        "scale_cascade": cascade,
+        "scale_field_norm": norm,
+        "family": "accel",
+    }
+
+
+def _net(cascade="product", norm="mean1"):
+    return {"scale_cascade": cascade, "scale_field_norm": norm}
+
+
+def test_clip_direct_under_incremental_raises():
+    from accel_tpu.core.checkpoint import (
+        EvalSemanticsError,
+        check_eval_semantics,
+    )
+    import pytest
+
+    with pytest.raises(EvalSemanticsError, match="31.97"):
+        check_eval_semantics(_prov("clip", "direct"), "incremental", _net())
+    # --force downgrades to a loud warning
+    warns = check_eval_semantics(
+        _prov("clip", "direct"), "incremental", _net(), force=True
+    )
+    assert any("FORCED" in w for w in warns)
+
+
+def test_pair_under_cascading_eval_raises():
+    from accel_tpu.core.checkpoint import (
+        EvalSemanticsError,
+        check_eval_semantics,
+    )
+    import pytest
+
+    for mode in ("incremental", "composed"):
+        with pytest.raises(EvalSemanticsError, match="pair"):
+            check_eval_semantics(_prov("pair", "direct"), mode, _net())
+
+
+def test_matched_semantics_are_silent():
+    from accel_tpu.core.checkpoint import check_eval_semantics
+
+    assert check_eval_semantics(_prov("clip", "direct"), "direct", _net()) == []
+    assert check_eval_semantics(
+        _prov("clip", "incremental"), "incremental", _net()
+    ) == []
+    # no provenance (pre-r5 checkpoint) -> no checks
+    assert check_eval_semantics(None, "incremental", _net()) == []
+
+
+def test_benign_interventions_warn_not_raise():
+    from accel_tpu.core.checkpoint import check_eval_semantics
+
+    # incremental-trained ckpt under direct eval: measured fine (80.79 vs
+    # 80.33) — warn only
+    warns = check_eval_semantics(
+        _prov("clip", "incremental"), "direct", _net()
+    )
+    assert len(warns) == 1 and "differs" in warns[0]
+    # eval-time cascade intervention ('last' on a product-trained ckpt)
+    warns = check_eval_semantics(
+        _prov("clip", "incremental", cascade="product"), "incremental",
+        _net(cascade="last"),
+    )
+    assert any("scale_cascade" in w for w in warns)
+
+
+def test_provenance_roundtrip(tmp_path):
+    from accel_tpu.core.checkpoint import load_provenance, save_provenance
+
+    d = str(tmp_path / "prefix")
+    assert load_provenance(d) is None
+    save_provenance(d, _prov())
+    assert load_provenance(d) == _prov()

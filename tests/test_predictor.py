@@ -217,3 +217,53 @@ def test_streaming_fold_flow_matches_standard(tiny_accel):
     p1 = np.asarray(seg1.push_clip(clip))
     agree = (p0 == p1).mean()
     assert agree > 0.97, f"agreement {agree}"
+
+
+def test_streaming_incremental_last_matches_clip_scan(tiny_accel):
+    """scale_cascade='last' in the key/cur streaming pair must match the
+    clip-scan path's semantics (advisor r4 medium: the streaming server
+    silently served 'product' — the cfg's own notes say up to ~25 mIoU
+    off at k=10 vs the semantics the incremental serving numbers were
+    measured under)."""
+    from accel_tpu.core.pipeline import clip_predictions
+    from accel_tpu.core.predictor import make_key_cur_predictors
+
+    m, variables = tiny_accel
+    m = m.clone(scale_cascade="last")
+    H = W = 128
+    rng = np.random.default_rng(11)
+    clip = jnp.asarray(rng.standard_normal((1, 4, H, W, 3)), jnp.float32) * 0.1
+
+    scan_preds = np.asarray(clip_predictions(m, variables, clip, 4, "incremental"))
+
+    kp, cp = make_key_cur_predictors(m, variables, propagate="incremental")
+    loop_preds = []
+    prop = anchor = None
+    for i in range(4):
+        if i == 0:
+            out = kp.predict(DataBatch([clip[:, 0]]))[0]
+        else:
+            out = cp.predict(DataBatch([clip[:, i], anchor, prop]))[0]
+        prop, anchor = out["prop"], out["anchor_small"]
+        loop_preds.append(np.asarray(out["pred"]))
+    loop_preds = np.stack(loop_preds, 1)
+    agree = (scan_preds == loop_preds).mean()
+    assert agree > 0.999, f"agreement {agree}"
+
+
+def test_streaming_rejects_unrepresentable_cascade(tiny_accel):
+    """mean1/clamp cascade semantics need a cumulative-product stream the
+    key/cur protocol doesn't carry — refuse loudly instead of silently
+    serving different semantics."""
+    from accel_tpu.core.predictor import make_key_cur_predictors
+
+    m, variables = tiny_accel
+    for mode in ("mean1", "clamp"):
+        with pytest.raises(ValueError, match="streaming"):
+            make_key_cur_predictors(
+                m.clone(scale_cascade=mode), variables, propagate="incremental"
+            )
+    # fine under direct (single warp — no cascade)
+    make_key_cur_predictors(
+        m.clone(scale_cascade="mean1"), variables, propagate="direct"
+    )

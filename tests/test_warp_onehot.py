@@ -121,3 +121,30 @@ def test_bf16_feat_dtype():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_multi_channel_tile_prefetch_chain():
+    """C > channel_tile so NC > 1: the double-buffered prefetch's
+    next-step index rotation (c wraps to the next row block, r to the
+    next batch) runs through every transition (advisor r4: CI shapes all
+    collapsed to NC==1, leaving the channel-tile wrap untested off-TPU —
+    a mis-rotation would surface as wrong windows on real DFF shapes,
+    not a crash). N=2 / R<H / NC=4 exercises c-wrap, r-wrap, and n-wrap."""
+    feat = _rand((2, 16, 32, 8), seed=21)
+    flow = _rand_flow((2, 16, 32, 2), seed=22, max_disp=2)
+    out = warp_onehot_fwd(feat, flow, max_disp=2, channel_tile=2,
+                          row_block=4, weights_dtype=jnp.float32,
+                          interpret=True)
+    ref = bilinear_warp_xla(feat, flow)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_multi_channel_tile_with_scale_epilogue():
+    feat = _rand((1, 8, 16, 8), seed=23)
+    flow = _rand_flow((1, 8, 16, 2), seed=24, max_disp=2)
+    scale = _rand((1, 8, 16, 8), seed=25, scale=0.3) + 1.0
+    out = warp_onehot_fwd(feat, flow, scale=scale, max_disp=2,
+                          channel_tile=2, row_block=2,
+                          weights_dtype=jnp.float32, interpret=True)
+    ref = bilinear_warp_xla(feat, flow) * scale
+    np.testing.assert_allclose(out, ref, atol=1e-5)

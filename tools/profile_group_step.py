@@ -206,6 +206,33 @@ def main():
         model.apply(vv[0], b if s is None else b * s, vv[1], vv[2],
                     method="warp"),
         prop_nk, n_nk, v=(variables, flow_nk, scale_nk))
+    # --- warp-stage decomposition (VERDICT r4 #2): the r4 session measured
+    # the stage at 7.34 ms/call vs the isolated dbuf kernel's 2.84 — these
+    # rows split the difference into (a) the SlopeMeter harness artifact
+    # (the row above multiplies the BIG prop tensor by the per-step scale;
+    # the probe tool multiplies only the 2-ch flow), (b) scale-field
+    # normalization, (c) the scale-modulation epilogue. The per-step scale
+    # rides on the flow here, which defeats result caching without
+    # touching the wide operands — the same contract probe_onehot_kernel
+    # uses, so "scale-on-flow" is directly comparable to its numbers.
+    add("warp DECOMP scale-on-flow (true stage)", lambda vv, b, s=None:
+        model.apply(vv[0], b, vv[1] if s is None else vv[1] * s, vv[2],
+                    method="warp"),
+        prop_nk, n_nk, v=(variables, flow_nk, scale_nk))
+    scale_pre = jnp.asarray(np.asarray(
+        model.apply(variables, scale_nk, method="norm_scale")),
+        scale_nk.dtype)
+    add("warp DECOMP prenormed scale", lambda vv, b, s=None:
+        model.apply(vv[0], b, vv[1] if s is None else vv[1] * s, vv[2],
+                    method="warp", normalize_scale=False),
+        prop_nk, n_nk, v=(variables, flow_nk, scale_pre))
+    add("warp DECOMP modulate=False (bare gather)", lambda vv, b, s=None:
+        model.apply(vv[0], b, vv[1] if s is None else vv[1] * s, vv[2],
+                    method="warp", modulate=False),
+        prop_nk, n_nk, v=(variables, flow_nk, scale_nk))
+    add("warp DECOMP norm_scale alone", lambda v, b, s=None:
+        model.apply(v, b if s is None else b * s, method="norm_scale"),
+        scale_nk, n_nk)
     if model.warp_tensor == "features":
         add("nonkey scores head (B*(k-1))", lambda v, b, s=None:
             model.apply(v, b if s is None else b * s,
@@ -241,7 +268,7 @@ def main():
     add("COMPOSITE composed group (B,k)", composite_comp, clip, B * k)
 
     t_sum = sum(t for name, (t, *_rest) in stages.items()
-                if not name.startswith("COMPOSITE"))
+                if not name.startswith("COMPOSITE") and "DECOMP" not in name)
     t_comp = stages["COMPOSITE direct group (B,k)"][0]
     print(f"\nsum of stages: {t_sum * 1e3:.3f} ms/group; composite: "
           f"{t_comp * 1e3:.3f} ms/group; fusion/scheduling delta: "
