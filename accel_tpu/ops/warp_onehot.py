@@ -114,9 +114,9 @@ def _pick_row_block(Wp: int, D: int, ct: int, fbytes: int,
     return 1
 
 
-def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, lhs_ref,
+def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, gain_ref, out_ref, lhs_ref,
             colvec_ref, fw_ref, sem, *, D: int, W: int, R: int, WIN: int,
-            CT: int, NR: int, NC: int, fused_scale: bool):
+            CT: int, NR: int, NC: int, fused_scale: bool, has_gain: bool):
     f32 = jnp.float32
     n = pl.program_id(0)
     r = pl.program_id(1)
@@ -217,12 +217,20 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, out_ref, lhs_ref,
         o = jax.lax.dot(lhs_ref[il], rhs,
                         preferred_element_type=f32, precision=prec)
         if fused_scale:
-            o = o * scale_ref[0, il].astype(f32)
+            s = scale_ref[0, il].astype(f32)
+            if has_gain:
+                # per-sample scalar gain (e.g. the mean1 normalization's
+                # 1/|mean|) folded into the epilogue: the normalized scale
+                # field never materializes in HBM (saves a read+write pass
+                # over the full C-wide field before the pallas_call, which
+                # cannot fuse producers)
+                s = s * gain_ref[0, 0]
+            o = o * s
         out_ref[0, il] = o.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
-def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _warp_onehot(feat, fx, fy, scale, gain, D: int, R: int, ct: int,
                  wdtype_name: str, interpret: bool):
     N, H, W, C = feat.shape
     wdtype = jnp.dtype(wdtype_name)
@@ -258,10 +266,21 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
         scale_spec = pl.BlockSpec((1, R, Wp, ct), lambda n, r, c: (0, 0, 0, 0),
                                   memory_space=pltpu.VMEM)
 
+    has_gain = gain is not None
+    if has_gain:
+        gain_p = gain.astype(jnp.float32).reshape(N, 1)
+        gain_spec = pl.BlockSpec((1, 1), lambda n, r, c: (n, 0),
+                                 memory_space=pltpu.SMEM)
+    else:
+        gain_p = jnp.ones((1, 1), jnp.float32)
+        gain_spec = pl.BlockSpec((1, 1), lambda n, r, c: (0, 0),
+                                 memory_space=pltpu.SMEM)
+
     grid = (N, HB, Cp // ct)
     out = pl.pallas_call(
         functools.partial(_kernel, D=D, W=Wp, R=R, WIN=WIN, CT=ct,
-                          NR=HB, NC=Cp // ct, fused_scale=fused),
+                          NR=HB, NC=Cp // ct, fused_scale=fused,
+                          has_gain=has_gain),
         out_shape=jax.ShapeDtypeStruct((N, Hp, Wp, Cp), feat.dtype),
         grid=grid,
         in_specs=[
@@ -271,6 +290,7 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feat: HBM, windowed DMA
             scale_spec,
+            gain_spec,
         ],
         out_specs=pl.BlockSpec((1, R, Wp, ct), lambda n, r, c: (n, r, 0, c),
                                memory_space=pltpu.VMEM),
@@ -281,7 +301,7 @@ def _warp_onehot(feat, fx, fy, scale, D: int, R: int, ct: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(fx_p, fy_p, feat_p, scale_p)
+    )(fx_p, fy_p, feat_p, scale_p, gain_p)
     return out[:, :H, :W, :C]
 
 
@@ -294,6 +314,7 @@ def warp_onehot_fwd(
     channel_tile: int | None = None,
     weights_dtype=jnp.bfloat16,
     interpret: bool | None = None,
+    gain: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """feat (N,H,W,C), flow (N,H,W,2) [+ scale (N,H,W,C)] -> warped [*scale].
 
@@ -301,6 +322,11 @@ def warp_onehot_fwd(
     flow_x is unbounded), up to one ``weights_dtype`` rounding of the
     combined ry*cx tap weights (bf16 default; pass jnp.float32 for
     oracle-exact weights).
+
+    ``gain`` (N,) f32, requires ``scale``: a per-sample scalar multiplied
+    into the fused scale epilogue (in f32, via SMEM) — the mean1
+    normalization's 1/|mean| folded into the kernel so the normalized
+    field never materializes in HBM (network.warp_gain_fold).
     """
     from accel_tpu.ops.warp_pallas import _effective_platform
 
@@ -314,9 +340,11 @@ def warp_onehot_fwd(
                                   wdtype.itemsize)
     R = row_block or _pick_row_block(
         Wp, D, ct, feat.dtype.itemsize, wdtype.itemsize)
+    if gain is not None and scale is None:
+        raise ValueError("gain requires scale (it rides the scale epilogue)")
     fx = flow[..., 0].astype(jnp.float32)
     fy = flow[..., 1].astype(jnp.float32)
-    return _warp_onehot(feat, fx, fy, scale, D, int(R), int(ct),
+    return _warp_onehot(feat, fx, fy, scale, gain, D, int(R), int(ct),
                         wdtype.name, bool(interpret))
 
 
@@ -334,26 +362,40 @@ def _oracle(feat, flow, scale, max_disp):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def warp_onehot(feat, flow, scale=None, max_disp: int = 4):
+def warp_onehot(feat, flow, scale=None, max_disp: int = 4, gain=None):
     """Differentiable one-hot-matmul warp (+ fused scale modulation).
 
     Forward = the Pallas kernel; backward = exact VJP of the gather oracle
     (same pattern as warp_pallas — the kernel is a serving/inference-path
-    formulation, gradients ride the oracle).
+    formulation, gradients ride the oracle). ``gain`` (N,) f32 multiplies
+    the scale epilogue per sample (see warp_onehot_fwd).
     """
-    return warp_onehot_fwd(feat, flow, scale, max_disp)
+    return warp_onehot_fwd(feat, flow, scale, max_disp, gain=gain)
 
 
-def _fwd_rule(feat, flow, scale, max_disp):
-    return warp_onehot_fwd(feat, flow, scale, max_disp), (feat, flow, scale)
+def _gained_oracle(feat, flow, scale, gain, max_disp):
+    if gain is not None:
+        scale = scale * gain[:, None, None, None].astype(scale.dtype)
+    return _oracle(feat, flow, scale, max_disp)
+
+
+def _fwd_rule(feat, flow, scale, max_disp, gain):
+    return (warp_onehot_fwd(feat, flow, scale, max_disp, gain=gain),
+            (feat, flow, scale, gain))
 
 
 def _bwd_rule(max_disp, res, g):
-    feat, flow, scale = res
+    feat, flow, scale, gain = res
     if scale is None:
         _, vjp = jax.vjp(lambda f, fl: _oracle(f, fl, None, max_disp), feat, flow)
+        return (*vjp(g), None, None)
+    if gain is None:
+        _, vjp = jax.vjp(
+            lambda f, fl, s: _oracle(f, fl, s, max_disp), feat, flow, scale)
         return (*vjp(g), None)
-    _, vjp = jax.vjp(lambda f, fl, s: _oracle(f, fl, s, max_disp), feat, flow, scale)
+    _, vjp = jax.vjp(
+        lambda f, fl, s, gn: _gained_oracle(f, fl, s, gn, max_disp),
+        feat, flow, scale, gain)
     return vjp(g)
 
 

@@ -148,3 +148,61 @@ def test_multi_channel_tile_with_scale_epilogue():
                           weights_dtype=jnp.float32, interpret=True)
     ref = bilinear_warp_xla(feat, flow) * scale
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_gain_fold_matches_oracle():
+    """Per-sample scalar gain folded into the fused scale epilogue
+    (network.warp_gain_fold): kernel == oracle * scale * gain."""
+    feat = _rand((2, 16, 32, 8), seed=31)
+    flow = _rand_flow((2, 16, 32, 2), seed=32, max_disp=2)
+    scale = _rand((2, 16, 32, 8), seed=33, scale=0.3) + 1.0
+    gain = jnp.asarray([0.5, 1.7], jnp.float32)
+    out = warp_onehot_fwd(feat, flow, scale=scale, max_disp=2, gain=gain,
+                          weights_dtype=jnp.float32, interpret=True)
+    ref = bilinear_warp_xla(feat, flow) * scale * gain[:, None, None, None]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_gain_fold_grad_matches_oracle():
+    from accel_tpu.ops.warp_onehot import warp_onehot
+
+    feat = _rand((1, 8, 16, 4), seed=34)
+    flow = _rand_flow((1, 8, 16, 2), seed=35, max_disp=2)
+    scale = _rand((1, 8, 16, 4), seed=36, scale=0.3) + 1.0
+    gain = jnp.asarray([1.3], jnp.float32)
+
+    def f_kernel(ft, s, gn):
+        return jnp.sum(warp_onehot(ft, flow, s, 2, gain=gn) ** 2)
+
+    def f_oracle(ft, s, gn):
+        w = bilinear_warp_xla(ft, flow) * s * gn[:, None, None, None]
+        return jnp.sum(w ** 2)
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2))(feat, scale, gain)
+    go = jax.grad(f_oracle, argnums=(0, 1, 2))(feat, scale, gain)
+    for a, b in zip(gk, go):
+        # grads ride the oracle VJP exactly; the only difference is the
+        # bf16-weight fwd value inside **2 (same slack as
+        # test_grad_matches_oracle)
+        np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+
+
+def test_model_gain_fold_matches_divide_path(tiny_accel_onehot=None):
+    """AccelNet.warp with warp_gain_fold must reproduce the divide-path
+    numerics (mean1 norm) on the onehot lowering."""
+    from accel_tpu.models.accel import AccelNet
+
+    kw = dict(family="dff", ref_depth=18, num_classes=19, feat_stride=16,
+              head_channels=16, dtype=jnp.float32, use_pallas_warp=False,
+              warp_gather="onehot", warp_max_disp=2,
+              scale_field_norm="mean1")
+    m0 = AccelNet(**kw)
+    m1 = AccelNet(**kw, warp_gain_fold=True)
+    img = jnp.zeros((1, 128, 128, 3))
+    v = m0.init(jax.random.PRNGKey(0), img, img, jnp.ones((1,)), train=False)
+    prop = _rand((1, 8, 8, 16), seed=41)
+    flow = _rand_flow((1, 8, 8, 2), seed=42, max_disp=2)
+    scale = _rand((1, 8, 8, 16), seed=43, scale=0.3) + 2.0
+    out0 = m0.apply(v, prop, flow, scale, method="warp")
+    out1 = m1.apply(v, prop, flow, scale, method="warp")
+    np.testing.assert_allclose(out0, out1, atol=1e-5)
