@@ -78,6 +78,14 @@ def check_eval_semantics(
     trained_prop = prov.get("propagate")
     cascading = eval_propagate in ("incremental", "composed")
 
+    trained_cascade = prov.get("scale_cascade")
+    eval_cascade = (
+        str(eval_network.get("scale_cascade"))
+        if eval_network is not None and eval_network.get("scale_cascade")
+        is not None
+        else None
+    )
+
     fatal = None
     if objective == "pair" and cascading:
         fatal = (
@@ -93,6 +101,18 @@ def check_eval_semantics(
             "for exactly one warp (measured 84.36 -> 31.97 mIoU, BASELINE.md "
             "r4 decision table)"
         )
+    elif (
+        objective == "clip"
+        and cascading
+        and trained_cascade == "last"
+        and eval_cascade == "product"
+    ):
+        fatal = (
+            "'last'-trained checkpoint evaluated under the 'product' "
+            "cascade: re-introduces the compounding scale product the "
+            "model never trained through (the mismatch class the r4 "
+            "intervention table measures at up to ~25 mIoU at k=10)"
+        )
     if fatal is not None:
         if not force:
             raise EvalSemanticsError(
@@ -107,20 +127,39 @@ def check_eval_semantics(
             "checkpoint's native operating point"
         )
 
-    for key in ("scale_cascade", "scale_field_norm"):
-        trained_v = prov.get(key)
-        eval_v = eval_network.get(key) if eval_network is not None else None
-        if trained_v is not None and eval_v is not None \
-                and str(eval_v) != str(trained_v):
-            hazard = (
-                " (cascade-semantics mismatch measured up to ~25 mIoU at "
-                "k=10 — BASELINE.md intervention table)"
-                if key == "scale_cascade" and cascading else ""
-            )
+    if (
+        cascading
+        and trained_cascade is not None
+        and eval_cascade is not None
+        and eval_cascade != trained_cascade
+        and fatal is None
+    ):
+        # cascade semantics only act on cascading eval paths (direct mode
+        # performs a single warp — interventions are vacuous there)
+        if trained_cascade == "product" and eval_cascade == "last":
             warnings.append(
-                f"eval {key}={eval_v!r} differs from trained "
-                f"{key}={trained_v!r}{hazard}"
+                "eval scale_cascade='last' on a product-trained checkpoint "
+                "— the measured-BEST incremental eval semantics "
+                "(BASELINE.md intervention table), an intentional "
+                "eval-time intervention, not a hazard"
             )
+        else:
+            warnings.append(
+                f"eval scale_cascade={eval_cascade!r} differs from trained "
+                f"{trained_cascade!r} — eval-time intervention; cascade "
+                "mismatches have measured up to ~25 mIoU at k=10 "
+                "(BASELINE.md intervention table)"
+            )
+    tn = prov.get("scale_field_norm")
+    en = (str(eval_network.get("scale_field_norm"))
+          if eval_network is not None
+          and eval_network.get("scale_field_norm") is not None else None)
+    if tn is not None and en is not None and en != tn:
+        warnings.append(
+            f"eval scale_field_norm={en!r} differs from trained {tn!r} — "
+            "the scale field's calibration is recipe-bound (BASELINE.md "
+            "r2 gain A/B)"
+        )
     return warnings
 
 

@@ -277,12 +277,19 @@ class AccelNet(nn.Module):
             self.downscale_for_flow(cur), self.downscale_for_flow(anchor), train
         )
 
+    def norm_scale_gain(self, scale):
+        """mean1's per-sample gain 1/(|mean|+eps), shape (N,) f32 — the
+        single source of the normalization formula for both the divide
+        path (norm_scale) and the kernel-folded path (warp_gain_fold)."""
+        m = jnp.mean(scale, axis=(1, 2, 3))
+        return 1.0 / (jnp.abs(m).astype(jnp.float32) + 1e-6)
+
     def norm_scale(self, scale):
         """Scale-field gain normalization (network.scale_field_norm; the
         pair-recipe offset-0 cliff root cause — see BASELINE.md r2 A/B)."""
         if self.scale_field_norm == "mean1":
-            m = jnp.mean(scale, axis=(1, 2, 3), keepdims=True)
-            scale = scale / (jnp.abs(m) + 1e-6)
+            g = self.norm_scale_gain(scale)
+            scale = scale * g[:, None, None, None].astype(scale.dtype)
         return scale
 
     def warp(self, prop, flow, scale, normalize_scale=True, max_disp=None,
@@ -317,11 +324,10 @@ class AccelNet(nn.Module):
                 # divide pass that materializes the normalized C-wide
                 # field ahead of the pallas_call (which cannot fuse
                 # producers). Numerics: the gain multiply happens in f32
-                # in the epilogue vs the storage-dtype divide — at least
-                # as precise. Serving knob; in-program A/B decides any
-                # default flip (standing policy).
-                m = jnp.mean(scale, axis=(1, 2, 3))
-                gain = 1.0 / (jnp.abs(m).astype(jnp.float32) + 1e-6)
+                # in the epilogue vs the storage-dtype multiply — at
+                # least as precise. Serving knob; in-program A/B decides
+                # any default flip (standing policy).
+                gain = self.norm_scale_gain(scale)
                 return warp_onehot(x, flow, scale.astype(x.dtype), d,
                                    gain=gain)
             if normalize_scale:

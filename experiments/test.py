@@ -51,7 +51,10 @@ def resolve_key_offsets(interval, ann_offsets=None, offsets=None,
         ]
     if offset_sweep:
         return list(range(interval))  # ann_pos sweeps k-1..0
-    return [int(default_key_offset)]
+    # the cfg default must be range-checked too: a TEST.KEY_FRAME_OFFSET
+    # tuned for one interval silently mis-aims a --sweep/--interval row
+    # at a smaller k (review r5)
+    return [_check(int(default_key_offset), "cfg TEST.KEY_FRAME_OFFSET")]
 
 
 def parse_args():

@@ -142,3 +142,59 @@ def test_provenance_roundtrip(tmp_path):
     assert load_provenance(d) is None
     save_provenance(d, _prov())
     assert load_provenance(d) == _prov()
+
+
+def test_last_trained_under_product_cascade_raises():
+    """A 'last'-trained checkpoint served with the 'product' cascade
+    re-introduces the compounding the model never trained through (the
+    r4 advisor's streaming-server trap class) — fatal unless forced."""
+    from accel_tpu.core.checkpoint import (
+        EvalSemanticsError,
+        check_eval_semantics,
+    )
+    import pytest
+
+    with pytest.raises(EvalSemanticsError, match="product"):
+        check_eval_semantics(
+            _prov("clip", "incremental", cascade="last"), "incremental",
+            _net(cascade="product"),
+        )
+    # native 'last' serving point of the same checkpoint: silent
+    assert check_eval_semantics(
+        _prov("clip", "incremental", cascade="last"), "incremental",
+        _net(cascade="last"),
+    ) == []
+
+
+def test_cascade_mismatch_silent_under_direct_eval():
+    """Cascade semantics are vacuous under direct eval (single warp) —
+    no misleading warning (review r5)."""
+    from accel_tpu.core.checkpoint import check_eval_semantics
+
+    warns = check_eval_semantics(
+        _prov("clip", "incremental", cascade="product"), "direct",
+        _net(cascade="last"),
+    )
+    assert not any("scale_cascade" in w for w in warns)
+
+
+def test_product_to_last_warning_is_not_a_hazard_note():
+    """The shipped incremental serving point (product-trained, 'last'
+    eval — the measured-best direction) warns as an intentional
+    intervention, not as a collapse hazard (review r5)."""
+    from accel_tpu.core.checkpoint import check_eval_semantics
+
+    warns = check_eval_semantics(
+        _prov("clip", "incremental", cascade="product"), "incremental",
+        _net(cascade="last"),
+    )
+    assert any("measured-BEST" in w for w in warns)
+    assert not any("collapse" in w.lower() for w in warns)
+
+
+def test_default_key_offset_range_checked():
+    import pytest
+
+    with pytest.raises(ValueError, match="KEY_FRAME_OFFSET"):
+        resolve_key_offsets(3, default_key_offset=4)
+    assert resolve_key_offsets(5, default_key_offset=4) == [4]

@@ -187,7 +187,7 @@ def test_gain_fold_grad_matches_oracle():
         np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
 
 
-def test_model_gain_fold_matches_divide_path(tiny_accel_onehot=None):
+def test_model_gain_fold_matches_divide_path():
     """AccelNet.warp with warp_gain_fold must reproduce the divide-path
     numerics (mean1 norm) on the onehot lowering."""
     from accel_tpu.models.accel import AccelNet
