@@ -58,6 +58,36 @@ class FrozenBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class _Conv1Params(nn.Module):
+    """Param holder producing the SAME tree as nn.Conv(name='conv1') —
+    the fused7 stem consumes the kernel directly (checkpoint-compatible
+    with the conv7 stem)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64),
+            jnp.float32)
+
+
+class _FoldedBNParams(nn.Module):
+    """Param holder matching FrozenBatchNorm(name='bn')'s tree, returning
+    the folded (inv, shift) affine instead of applying it."""
+
+    @nn.compact
+    def __call__(self):
+        c = 64
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        inv = scale / jnp.sqrt(var.value + 1e-5)
+        shift = bias - mean.value * inv
+        return inv, shift
+
+
 def make_norm(norm: str, dtype, train: bool):
     """norm: 'frozenbn' (reference behavior with pretrained stats),
     'batchnorm' (mutable running stats), or 'groupnorm' (batch-independent —
@@ -269,13 +299,29 @@ class DilatedResNet(nn.Module):
                 64, (4, 4), padding=[(2, 1), (2, 1)],
                 use_bias=False, dtype=self.dtype, name="conv1_s2d",
             )(x)
+        elif self.stem == "fused7":
+            # fused Pallas stem (ops/fused_stem.py): conv7x7/2 + folded-BN
+            # affine + relu in one kernel over a dense-lane input layout —
+            # the r5 per-layer roofline's worst layer (1.6-5.6% of bound,
+            # C=3 lane padding) attacked directly. Same param tree as the
+            # conv7 stem (checkpoint-compatible); needs the affine-foldable
+            # frozenbn norm. Norm/relu happen inside the kernel.
+            if self.norm != "frozenbn":
+                raise ValueError("stem='fused7' requires norm='frozenbn' "
+                                 "(the BN must fold to a per-channel affine)")
+            from accel_tpu.ops.fused_stem import fused_stem
+
+            kernel = _Conv1Params(name="conv1")()
+            inv, shift = _FoldedBNParams(name="bn")()
+            x = fused_stem(x, kernel, inv, shift)
         else:
             x = nn.Conv(
                 64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                 use_bias=False, dtype=self.dtype, name="conv1",
             )(x)
-        x = norm(name="bn")(x)
-        x = nn.relu(x)
+        if self.stem != "fused7":
+            x = norm(name="bn")(x)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         widths = (64, 128, 256, 512)
