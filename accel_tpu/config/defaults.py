@@ -45,24 +45,24 @@ def make_defaults() -> Config:
                 "head_channels": 1024,
                 # FlowNet runs on inputs downscaled by this factor
                 "flow_input_downscale": 2,
-                # flow propagation: 'direct' (key->cur in one shot — DFF
-                # semantics, the reference PAIR recipe's mode, and the
-                # MEASURED-BEST flagship default), 'incremental' (prev->
-                # cur cascaded warps — the Accel paper's own semantics),
-                # or 'composed' (r3 analysis mode: per-step flows composed
-                # into one key->frame warp). MEASURED DECISION (r4): the
-                # clip objective TRAINED THROUGH direct propagation and
-                # evaluated direct beats every incremental-trained row on
-                # all three synthetic sets — decision tables in BASELINE.md
-                # ("Hard-set decision rows" + the extreme/failure battery
-                # sections) — because multi-gap direct training teaches
-                # FlowNet gap-scaled flow (the r3 probe's "FlowNet
-                # compresses multi-frame displacement" was a property of
-                # pair training, not the architecture). The reference's
-                # incremental semantics stay available:
-                # accel18_cityscapes_incremental.yaml (clip-through-
-                # incremental + eval-time scale_cascade='last').
-                "propagate": "direct",
+                # flow propagation: 'incremental' (prev->cur cascaded
+                # warps — the Accel paper's own semantics and, paired
+                # with scale_cascade='last' below, the MEASURED-BEST
+                # flagship recipe), 'direct' (key->cur in one shot — DFF
+                # semantics and the reference PAIR recipe's mode), or
+                # 'composed' (r3 analysis mode: per-step flows composed
+                # into one key->frame warp). MEASURED DECISION (r5 recipe
+                # grid, superseding r4's direct flip): the clip objective
+                # TRAINED THROUGH incremental propagation under 'last'
+                # cascade semantics beats clip-through-direct at every
+                # warped cell on all three synthetic sets (+1.8 to +4.4
+                # at k=10) and is nearly gap-flat — BASELINE.md
+                # "Battery-2 rows". Direct training (r4's winner, kept as
+                # accel18_cityscapes_direct.yaml) remains the pick for
+                # stateless direct serving; the r4 mechanism finding
+                # (multi-gap supervision teaches FlowNet gap-scaled flow)
+                # applies to both.
+                "propagate": "incremental",
                 # DFF scale-field modulation of warped maps
                 "use_scale_field": True,
                 # cascade-scale semantics for incremental/composed
@@ -71,13 +71,15 @@ def make_defaults() -> Config:
                 # (cumulative product renormalized to global mean 1 per
                 # step) | 'clamp' (product clipped to [1/2, 2] per pixel)
                 # | 'last' (only the current step's field modulates; no
-                # accumulation). MEASURED (r4): 'last' at EVAL time beats
-                # product and direct on every synth set (see the propagate
-                # note above) — the scale field's information is per-step,
-                # not cumulative, so multiplying histories degrades it.
-                # Default stays 'product' (training + reference parity);
-                # serving cfgs apply 'last' via TEST.serving_network.
-                "scale_cascade": "product",
+                # accumulation). MEASURED (r4 eval-time, r5
+                # trained-through): the scale field's information is
+                # per-step, not cumulative — multiplying histories
+                # degrades it (up to 25 mIoU at k=10), and TRAINING
+                # through 'last' is the best recipe on every synth set
+                # (BASELINE.md battery-2 rows). Default 'last' since r5;
+                # set 'product' for reference-semantics parity (the
+                # *_incremental variant cfg ships it).
+                "scale_cascade": "last",
                 # 'mean1' pins the scale field's degenerate global gain
                 # (from-scratch default; measured: unpinned gain drifts to
                 # ~3.2 and miscalibrates the un-warped keyframe/eq path

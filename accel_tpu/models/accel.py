@@ -119,7 +119,10 @@ class AccelNet(nn.Module):
     #               stays unmodulated
     # Consumed by core/pipeline.py's incremental/composed group steps;
     # direct mode (single warp) is unaffected.
-    scale_cascade: str = "product"
+    # 'last' since r5 (measured-best trained-through AND eval semantics on
+    # every synth set — BASELINE.md battery-2 rows); 'product' is the
+    # reference's cumulative-product semantics (parity knob)
+    scale_cascade: str = "last"
     # int8 serving quantization per branch (ops/quant.py): the keyframe
     # ref branch is the dominant cost of every propagation family and the
     # safest to quantize (its scores pass through fusion recalibration).

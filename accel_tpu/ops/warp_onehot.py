@@ -224,7 +224,7 @@ def _kernel(fx_ref, fy_ref, feat_ref, scale_ref, gain_ref, out_ref, lhs_ref,
                 # field never materializes in HBM (saves a read+write pass
                 # over the full C-wide field before the pallas_call, which
                 # cannot fuse producers)
-                s = s * gain_ref[0, 0]
+                s = s * gain_ref[n, 0]
             o = o * s
         out_ref[0, il] = o.astype(out_ref.dtype)
 
@@ -267,14 +267,16 @@ def _warp_onehot(feat, fx, fy, scale, gain, D: int, R: int, ct: int,
                                   memory_space=pltpu.VMEM)
 
     has_gain = gain is not None
+    # full-array SMEM block (Mosaic requires block == array dims for
+    # non-(8,128)-divisible shapes — a (1,1) block of an (N,1) array fails
+    # real lowering even though interpret mode accepts it); the kernel
+    # indexes it with program_id
     if has_gain:
         gain_p = gain.astype(jnp.float32).reshape(N, 1)
-        gain_spec = pl.BlockSpec((1, 1), lambda n, r, c: (n, 0),
-                                 memory_space=pltpu.SMEM)
     else:
         gain_p = jnp.ones((1, 1), jnp.float32)
-        gain_spec = pl.BlockSpec((1, 1), lambda n, r, c: (0, 0),
-                                 memory_space=pltpu.SMEM)
+    gain_spec = pl.BlockSpec(gain_p.shape, lambda n, r, c: (0, 0),
+                             memory_space=pltpu.SMEM)
 
     grid = (N, HB, Cp // ct)
     out = pl.pallas_call(

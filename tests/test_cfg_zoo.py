@@ -53,29 +53,45 @@ def test_dff_serving_cfg_ships_measured_lowering():
 
 
 def test_flagship_cfgs_ship_measured_propagation_recipe():
-    """The r4 battery's propagation decision, pinned (BASELINE.md):
+    """The r5 recipe-grid decision, pinned (BASELINE.md battery-2 rows):
 
-    - flagship + family cfgs train the clip objective THROUGH direct
-      propagation and eval direct — the measured-best pair on all three
-      synth sets (extreme 84.36/84.47 at k=5-off4/k=10, hard 88.05/85.56,
-      failure 83.17/81.69 — the first arm to beat pure DFF);
-    - the reference-semantics incremental recipe ships the measured
-      eval-time cascade fix (scale_cascade='last': best incremental-eval
-      row on every set; the compounded product loses up to 25 points at
-      k=10) while TRAINING through 'product'."""
+    - flagship + family cfgs train the clip objective THROUGH incremental
+      propagation under scale_cascade='last' (train/eval-consistent) —
+      measured-best on all three synth sets, beating r4's
+      clip-through-direct at every warped cell (hard 89.97/89.92 vs
+      88.05/85.56 at k=5-off4/k=10; extreme 87.45/87.38 vs 84.36/84.47;
+      failure 83.51/83.46 vs 83.17/81.69);
+    - the r4 direct recipe stays as accel18_cityscapes_direct.yaml (the
+      stateless-serving pick);
+    - the reference-PRODUCT-semantics recipe (accel18_cityscapes_
+      incremental.yaml) pins scale_cascade='product' explicitly for
+      training and ships the measured eval-time 'last' fix."""
     base = os.path.join(os.path.dirname(__file__), "..", "experiments", "cfgs")
     for name in ("accel18_cityscapes", "accel34_cityscapes",
                  "accel50_cityscapes", "accel101_cityscapes",
                  "accel18_camvid", "accel18_fast_cityscapes"):
         cfg = load_config(os.path.join(base, f"{name}.yaml"))
-        assert cfg.network.propagate == "direct", name
+        assert cfg.network.propagate == "incremental", name
+        assert cfg.network.scale_cascade == "last", name
         assert cfg.TRAIN.objective == "clip", name
         assert not cfg.TEST.get("serving_network"), name
+        assert build_model(cfg).scale_cascade == "last"
+
+    cfg = load_config(os.path.join(base, "accel18_cityscapes_direct.yaml"))
+    assert cfg.network.propagate == "direct"
+    assert cfg.TRAIN.objective == "clip"
 
     cfg = load_config(os.path.join(base, "accel18_cityscapes_incremental.yaml"))
     assert cfg.network.propagate == "incremental"
-    assert cfg.network.get("scale_cascade", "product") == "product"
+    assert cfg.network.scale_cascade == "product"
     assert cfg.TEST.serving_network == {"scale_cascade": "last"}
     for k, v in cfg.TEST.serving_network.items():
         cfg.network[k] = v
     assert build_model(cfg).scale_cascade == "last"
+
+    # pre-r5 synth clip cfgs trained through 'product' — pinned explicitly
+    # after the default flip so their recorded rows stay reproducible
+    for name in ("hard_synth_accel18_clip", "extreme_synth_accel18_clip",
+                 "failure_synth_accel18_clip"):
+        cfg = load_config(os.path.join(base, f"{name}.yaml"))
+        assert cfg.network.scale_cascade == "product", name

@@ -86,9 +86,13 @@ def test_direct_mode_matches_pair_training_objective(tiny_accel):
     """Regression for the round-1 eval bug: a pair-trained model must be
     evaluated with 'direct' propagation — frame i of a group equals the
     training pair forward (cur=frame_i, key=frame_0). 'incremental' mode
-    re-applies the scale field per step and diverges once the scale is not
-    identity (it compounds), which silently destroyed eval mIoU."""
+    under the reference's PRODUCT cascade re-applies the scale field per
+    step and diverges once the scale is not identity (it compounds),
+    which silently destroyed eval mIoU. Pinned to scale_cascade='product'
+    — the semantics this regression documents — after the r5 default
+    flipped to 'last' (which removes exactly that compounding)."""
     m, variables = tiny_accel
+    m = m.clone(scale_cascade="product")
     # perturb the flow + scale heads so the warp/scale path is non-trivial
     import flax
 
