@@ -11,16 +11,16 @@ remaining lever.
 
 Design (one kernel instance per (batch, stem-row-block)):
 
-1. The host side re-lays the image ONCE as ``prep (N, Hpad, 6, W/2)``
+1. The host side re-lays the image ONCE as ``prep (N, Hpad, 8, W/2)``
    where ``prep[n, h, par*3+c, x] = image[n, h-3, 2x+par, c]`` (3 zero
    rows of halo top/bottom) — pixel-pair-major, so the lane dimension is
    W/2 (dense, 128-aligned at every shape this repo serves) and the
-   7-tap stride-2 x-window becomes 4 STATIC lane shifts of (6, W/2) rows.
-2. The kernel DMAs its (2R+5, 6, W/2) input window from HBM (the
+   7-tap stride-2 x-window becomes 4 STATIC lane shifts of (8, W/2) rows.
+2. The kernel DMAs its (2R+5, 8, W/2) input window from HBM (the
    overlap-window pattern of ops/warp_onehot.py), assembles a
-   (168, W/2) patch per stem row (7 ky-taps x 4 shifts x 6 pair-channels;
-   21 rows are dead and carry zero weights), and runs ONE MXU matmul
-   (64, 168) @ (168, W/2) per stem row — the whole conv as dense matmul.
+   (224, W/2) patch per stem row (7 ky-taps x 4 shifts x 8 sublane-padded
+   pair-channel rows; dead rows carry zero weights), and runs ONE matmul
+   (64, 224) @ (224, W/2) per stem row — the whole conv as dense matmul.
 3. The folded FrozenBN affine (inv, shift) and relu apply in f32 in the
    epilogue; rows transpose to NHWC on write. The 3x3/2 maxpool stays in
    XLA (bandwidth-trivial on the 64-ch half-res map, and zero-padding is
@@ -45,15 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 # stem geometry (fixed by the architecture)
 _KH = 7          # kernel height
 _CO = 64         # output channels
-_KROWS = 168     # 7 ky * 4 shifts * 6 pair-channels (21 dead rows)
+_KROWS = 224     # 7 ky * 4 shifts * 8 pair-channel rows (6 live: par*3+c;
+                 # rows 6-7 of each group pad the sublane dim to Mosaic's
+                 # 8-alignment — real lowering rejects 6-sublane HBM slices)
 
 
 def pack_stem_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
-    """(7, 7, 3, 64) conv kernel -> (64, 168) matmul LHS.
+    """(7, 7, 3, 64) conv kernel -> (64, 224) matmul LHS.
 
     Row index for tap (ky, kx, c): pixel offset kx-3 = 2*dx + par with
-    dx in {-2..1}, par in {0,1}; k = ky*24 + (dx+2)*6 + par*3 + c.
-    Unused (ky, dx, par) combinations stay zero.
+    dx in {-2..1}, par in {0,1}; k = ky*32 + (dx+2)*8 + par*3 + c.
+    Unused (ky, dx, par) combinations and the two sublane-pad rows of
+    each 8-row group stay zero.
     """
     k = jnp.zeros((_KROWS, _CO), kernel.dtype)
     for ky in range(7):
@@ -61,19 +64,21 @@ def pack_stem_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
             off = kx - 3
             dx = off >> 1          # floor division toward -inf
             par = off - 2 * dx     # 0 or 1
-            row = ky * 24 + (dx + 2) * 6 + par * 3
+            row = ky * 32 + (dx + 2) * 8 + par * 3
             k = k.at[row: row + 3].set(kernel[ky, kx])
-    return k.T  # (64, 168)
+    return k.T  # (64, 224)
 
 
 def prep_image(x: jnp.ndarray) -> jnp.ndarray:
-    """(N, H, W, 3) -> (N, H+6, 6, W//2) pixel-pair-major with 3-row
-    zero halo top and bottom (the conv's row padding)."""
+    """(N, H, W, 3) -> (N, H+6, 8, W//2) pixel-pair-major (sublane-padded
+    to 8) with 3-row zero halo top and bottom (the conv's row padding)."""
     N, H, W, C = x.shape
     assert C == 3 and W % 2 == 0
     p = x.reshape(N, H, W // 2, 2, 3).transpose(0, 1, 3, 4, 2)
     p = p.reshape(N, H, 6, W // 2)
-    return jnp.pad(p, ((0, 0), (3, 3), (0, 0), (0, 0)))
+    # sublane dim padded 6 -> 8 (Mosaic HBM slices need 8-aligned
+    # second-minor dims) + the 3-row y halo
+    return jnp.pad(p, ((0, 0), (3, 3), (0, 2), (0, 0)))
 
 
 def _kernel(prep_ref, w_ref, aff_ref, out_ref, patch_ref, win_ref, sem,
@@ -96,7 +101,7 @@ def _kernel(prep_ref, w_ref, aff_ref, out_ref, patch_ref, win_ref, sem,
     for il in range(R):
         # patch rows (ky, dx, c6): shifted copies of the 7 input rows
         for ky in range(_KH):
-            row = win_ref[2 * il + ky]              # (6, W2)
+            row = win_ref[2 * il + ky]              # (8, W2)
             for di, dx in enumerate((-2, -1, 0, 1)):
                 if dx < 0:
                     shifted = jnp.pad(
@@ -106,7 +111,7 @@ def _kernel(prep_ref, w_ref, aff_ref, out_ref, patch_ref, win_ref, sem,
                         row, ((0, 0), (0, dx)))[:, dx:]
                 else:
                     shifted = row
-                patch_ref[ky * 24 + di * 6: ky * 24 + di * 6 + 6, :] = shifted
+                patch_ref[ky * 32 + di * 8: ky * 32 + di * 8 + 8, :] = shifted
         o = jax.lax.dot(
             w_ref[...], patch_ref[...],
             preferred_element_type=f32,
@@ -118,7 +123,7 @@ def _kernel(prep_ref, w_ref, aff_ref, out_ref, patch_ref, win_ref, sem,
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _fused_stem(prep, wmat, aff, row_block: int, interpret: bool):
-    N, Hpad, _, W2 = prep.shape
+    N, Hpad, _, W2 = prep.shape  # sublane dim is 8
     H2 = (Hpad - 6) // 2                     # stem output rows
     R = row_block
     HB = -(-H2 // R)
@@ -142,7 +147,7 @@ def _fused_stem(prep, wmat, aff, row_block: int, interpret: bool):
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((_KROWS, W2), wmat.dtype),       # patch
-            pltpu.VMEM((2 * R + 5, 6, W2), prep.dtype),  # input window
+            pltpu.VMEM((2 * R + 5, 8, W2), prep.dtype),  # input window
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
