@@ -67,6 +67,9 @@ def _mfu_fields(prefix: str, fps: float, flops_call, frames_per_call: int, backe
     return out
 
 
+_BENCH_STEM = "fused7"  # overridable via --stem; see main()
+
+
 def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool,
            feat_stride: int = 16, quantize: bool = False):
     from accel_tpu.models.accel import AccelNet
@@ -84,6 +87,15 @@ def _build(family: str, ref_depth: int, update_depth: int, use_pallas: bool,
         warp_max_disp=8,
         quantize_ref=quantize,
         quantize_update=quantize,
+        # fused Pallas stem (ops/fused_stem.py) — measured in-program r5:
+        # DFF composite 53.6 vs 56.4 ms/group (+5.1%), fast +1.8%, the
+        # per-frame R101 key/baseline program -2.9 ms/4 frames; accel18
+        # faithful flat (key win offset by the B*k=20 update stem). Bench
+        # models are frozenbn (the kernel's gate); applied to EVERY
+        # benched program incl. the baseline so vs_baseline stays honest.
+        # use_pallas doubles as the on-TPU signal (interpret-mode stems
+        # would crawl on CPU smoke runs).
+        stem=_BENCH_STEM if use_pallas else "conv7",
     )
 
 
@@ -346,6 +358,11 @@ def main():
                     help="backbone output stride for baseline+subject "
                          "(8 = the dilated os8 ladder)")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--stem", default="fused7", choices=["fused7", "conv7"],
+                    help="ResNet stem for every benched model (fused7 = the "
+                         "r5 fused Pallas stem, measured +5.1%% on DFF / "
+                         "-2.9 ms per 4 key frames on the baseline; conv7 "
+                         "= the pre-r5 lowering for regression checks)")
     # extras are ON by default (each line the judge needs lives in the same
     # JSON artifact) but individually skippable and wall-time-guarded: if
     # the primary measurements already consumed the budget (cold compile
@@ -382,6 +399,8 @@ def main():
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = (not args.no_pallas) and on_tpu
+    global _BENCH_STEM
+    _BENCH_STEM = args.stem
 
     backend = jax.default_backend()
     B = args.clip_batch
@@ -638,6 +657,7 @@ def main():
                 "quantized": bool(args.quantize),
                 "backend": backend,
                 "pallas_warp": use_pallas,
+                "stem": _BENCH_STEM if use_pallas else "conv7",
             }
         )
     )
