@@ -497,6 +497,7 @@ def main():
         update_head_channels=256, update_input_downscale=2,
         flow_input_downscale=4, flow_width_mult=0.5,
         quantize_ref=args.quantize, quantize_update=args.quantize,
+        stem=_BENCH_STEM if use_pallas else "conv7",
     )
     try:
         fn, v, c = clip_setup(fast_model)
@@ -520,6 +521,7 @@ def main():
             head_dilation=6, dtype=jnp.bfloat16, use_pallas_warp=use_pallas,
             warp_max_disp=8, quantize_ref=args.quantize,
             quantize_update=args.quantize,
+            stem=_BENCH_STEM if use_pallas else "conv7",
         )
         try:
             fn, v, c = clip_setup(mixed_model)
@@ -545,6 +547,7 @@ def main():
             warp_max_disp=4, warp_dtype="native", warp_gather="onehot",
             flow_input_downscale=4, flow_width_mult=0.5,
             quantize_ref=args.quantize,
+            stem=_BENCH_STEM if use_pallas else "conv7",
         )
         try:
             fn, v, c = clip_setup(dff_model)
