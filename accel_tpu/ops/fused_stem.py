@@ -121,6 +121,14 @@ def _kernel(prep_ref, w_ref, aff_ref, out_ref, patch_ref, win_ref, sem,
         out_ref[0, il] = jnp.transpose(o).astype(out_ref.dtype)  # (W2, 64)
 
 
+def _pick_row_block(W2: int) -> int:
+    """Largest stem-row block fitting the ~16 MB scoped-vmem budget
+    (measured sweep, tools/probe_fused_stem.py: R=16 at W2=1024 and R=32
+    at W2=512 dominate R=8 by 16-19%; R=32 at W2=1024 exceeds scoped
+    vmem — 17.5M > 16M)."""
+    return 32 if W2 <= 512 else 16
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _fused_stem(prep, wmat, aff, row_block: int, interpret: bool):
     N, Hpad, _, W2 = prep.shape  # sublane dim is 8
@@ -160,7 +168,7 @@ def fused_stem_fwd(
     kernel: jnp.ndarray,
     inv: jnp.ndarray,
     shift: jnp.ndarray,
-    row_block: int = 8,
+    row_block: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """x (N,H,W,3), kernel (7,7,3,64), inv/shift (64,) ->
@@ -175,6 +183,8 @@ def fused_stem_fwd(
     prep = prep_image(x)
     wmat = pack_stem_kernel(kernel.astype(x.dtype))
     aff = jnp.stack([inv, shift]).astype(jnp.float32)
+    if row_block is None:
+        row_block = _pick_row_block(prep.shape[-1])
     return _fused_stem(prep, wmat, aff, int(row_block), bool(interpret))
 
 
